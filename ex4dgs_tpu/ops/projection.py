@@ -1,0 +1,153 @@
+"""Per-Gaussian preprocessing: frustum culling, projection, EWA covariance,
+conic/radius/tile-extent computation.
+
+TPU-native equivalent of the reference's preprocessCUDA
+(cuda_rasterizer/forward.cu:165-269): fully vectorized jnp over the Gaussian
+axis — XLA fuses this into a handful of elementwise kernels; no Pallas needed
+(the hot loops are binning + compositing, not preprocess). Gradients come from
+autodiff and match the reference's hand-written chains (backward.cu:144-423)
+because the forward math is identical, including clamp/cull masking.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .math3d import cov3d_from_scaling_rotation, ewa_project_cov, ndc2pix
+
+TILE = 16  # pixels per tile edge (config.h:16-17); keep 16 for parity
+
+
+class CameraArrays(NamedTuple):
+    """Per-camera tensors consumed by the rasterizer (all float32)."""
+
+    view: jnp.ndarray  # [4,4] world->camera (mathematical, column-vector)
+    proj: jnp.ndarray  # [4,4] full projection = P @ view
+    campos: jnp.ndarray  # [3] camera center in world space
+
+
+class Projected(NamedTuple):
+    """Per-Gaussian screen-space quantities."""
+
+    xy: jnp.ndarray  # [P,2] pixel-space mean
+    depth: jnp.ndarray  # [P] camera-space z
+    conic: jnp.ndarray  # [P,3] inverse dilated 2D covariance (a,b,c)
+    opacity: jnp.ndarray  # [P] opacity * low-pass compensation coef
+    radius: jnp.ndarray  # [P] int32 screen radius (0 => culled)
+    rect_min: jnp.ndarray  # [P,2] int32 tile rect (x,y), clamped to grid
+    rect_max: jnp.ndarray  # [P,2] int32 (exclusive)
+    tiles_touched: jnp.ndarray  # [P] int32
+    valid: jnp.ndarray  # [P] bool
+
+
+def tile_grid(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
+    return (width + tile - 1) // tile, (height + tile - 1) // tile
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    cam: CameraArrays,
+    *,
+    width: int,
+    height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    kernel_size: float,
+    min_depth: float = 0.2,
+    max_depth: float = 100.0,
+    mean2d_ndc_offset: jnp.ndarray | None = None,
+    tile: int = TILE,
+) -> Projected:
+    """Project Gaussians to screen space.
+
+    `mean2d_ndc_offset` is a zeros [P,3] tensor whose gradient captures
+    dL/d(ndc mean) for densification statistics — the functional equivalent of
+    the reference's `screenspace_points` dummy (gaussian_renderer/__init__.py:28,
+    backward.cu:669-670 scale by 0.5*W == d(pixel)/d(ndc)).
+    """
+    P = means3d.shape[0]
+    focal_x = width / (2.0 * tan_fovx)
+    focal_y = height / (2.0 * tan_fovy)
+
+    ones = jnp.ones((P, 1), means3d.dtype)
+    hom = jnp.concatenate([means3d, ones], axis=1)  # [P,4]
+    p_view = hom @ cam.view[:3].T  # [P,3]
+    p_hom = hom @ cam.proj.T  # [P,4]
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]  # NDC
+    if mean2d_ndc_offset is not None:
+        p_proj = p_proj + mean2d_ndc_offset
+
+    depth = p_view[:, 2]
+    # Frustum test (auxiliary.h:in_frustum): near/far on view z, +-1.3 NDC box.
+    in_frustum = (
+        (depth > min_depth)
+        & (depth <= max_depth)
+        & (jnp.abs(p_proj[:, 0]) <= 1.3)
+        & (jnp.abs(p_proj[:, 1]) <= 1.3)
+    )
+
+    cov2d, coef = ewa_project_cov(
+        p_view, cov3d, cam.view[:3, :3], focal_x, focal_y, tan_fovx, tan_fovy, kernel_size
+    )
+    a, b, c = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2]
+    det = a * c - b * b
+    det_ok = det > 0.0
+    safe_det = jnp.where(det_ok, det, 1.0)
+    det_inv = 1.0 / safe_det
+    conic = jnp.stack([c * det_inv, -b * det_inv, a * det_inv], axis=-1)
+
+    mid = 0.5 * (a + c)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+
+    xy = jnp.stack([ndc2pix(p_proj[:, 0], width), ndc2pix(p_proj[:, 1], height)], axis=-1)
+
+    grid_x, grid_y = tile_grid(width, height, tile)
+    # getRect (auxiliary.h:46-57): truncation-toward-zero int casts.
+    rmin_x = jnp.clip(((xy[:, 0] - radius_f) / tile).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((xy[:, 1] - radius_f) / tile).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(((xy[:, 0] + radius_f + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
+    rmax_y = jnp.clip(((xy[:, 1] + radius_f + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
+    tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
+
+    valid = in_frustum & det_ok & (tiles_touched > 0)
+    tiles_touched = jnp.where(valid, tiles_touched, 0)
+    radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+
+    return Projected(
+        xy=xy,
+        depth=depth,
+        conic=conic,
+        opacity=opacities * coef,
+        radius=radius,
+        rect_min=jnp.stack([rmin_x, rmin_y], -1),
+        rect_max=jnp.stack([rmax_x, rmax_y], -1),
+        tiles_touched=tiles_touched,
+        valid=valid,
+    )
+
+
+def compute_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray, scale_modifier: float = 1.0):
+    return cov3d_from_scaling_rotation(scales, rotations, scale_modifier)
+
+
+def mark_visible(
+    means3d: jnp.ndarray, cam: CameraArrays, min_depth: float = 0.2, max_depth: float = 100.0
+) -> jnp.ndarray:
+    """Standalone frustum-visibility test (rasterizer_impl.cu:markVisible)."""
+    P = means3d.shape[0]
+    hom = jnp.concatenate([means3d, jnp.ones((P, 1), means3d.dtype)], axis=1)
+    p_view = hom @ cam.view[:3].T
+    p_hom = hom @ cam.proj.T
+    p_proj = p_hom[:, :3] / (p_hom[:, 3:4] + 1e-7)
+    depth = p_view[:, 2]
+    return (
+        (depth > min_depth)
+        & (depth <= max_depth)
+        & (jnp.abs(p_proj[:, 0]) <= 1.3)
+        & (jnp.abs(p_proj[:, 1]) <= 1.3)
+    )

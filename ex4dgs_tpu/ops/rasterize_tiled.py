@@ -1,0 +1,121 @@
+"""Tiled rasterizer, pure-jnp implementation.
+
+Consumes the static-shape binning (ops/binning.py) and blends every tile's
+depth-ordered instance list with the shared compositing core. This is the
+portable implementation: it runs anywhere (CPU tests, TPU fallback), is
+differentiable end-to-end by autodiff, and defines the semantics the Pallas
+TPU kernels (ops/rasterize_pallas.py) must reproduce bit-for-bit-ish.
+
+Shape strategy: one lax.scan over fixed-size chunks of each tile's instance
+range (all tiles advance in lockstep, masked beyond their own range). The
+scan trip count is ceil(max_per_tile / chunk) with a *static* max_per_tile
+bound chosen by the caller.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import compositing as comp
+from .binning import Binning
+from .projection import Projected, TILE
+
+
+def gather_sorted(proj: Projected, colors: jnp.ndarray, flow: jnp.ndarray, binning: Binning):
+    """Gather per-instance data in sorted (tile, depth) order.
+
+    One big XLA gather — its autodiff transpose is exactly the deterministic
+    segment-sum that replaces the reference backward's atomicAdd scatters."""
+    g = binning.order
+    xy = jnp.take(proj.xy, g, axis=0)
+    conic = jnp.take(proj.conic, g, axis=0)
+    opac = jnp.take(proj.opacity * proj.valid, g)
+    feats = comp.make_features(
+        jnp.take(colors, g, axis=0), jnp.take(proj.depth, g), jnp.take(flow, g, axis=0)
+    )
+    return xy, conic, opac, feats, g
+
+
+def tile_pixels(grid_x: int, grid_y: int, tile: int = TILE) -> jnp.ndarray:
+    """Pixel coordinates per tile: [num_tiles, tile*tile, 2] (x, y)."""
+    ty, tx = jnp.mgrid[0:grid_y, 0:grid_x]
+    py, px = jnp.mgrid[0:tile, 0:tile]
+    x = tx.reshape(-1, 1) * tile + px.reshape(1, -1)  # [T, tile*tile]
+    y = ty.reshape(-1, 1) * tile + py.reshape(1, -1)
+    return jnp.stack([x, y], axis=-1).astype(jnp.float32)
+
+
+def rasterize_tiled(
+    proj: Projected,
+    colors: jnp.ndarray,
+    flow: jnp.ndarray,
+    binning: Binning,
+    *,
+    width: int,
+    height: int,
+    bg: jnp.ndarray,
+    max_depth: float,
+    tile: int = TILE,
+    chunk: int = 128,
+    max_per_tile: int | None = None,
+    subpixel_offset: jnp.ndarray | None = None,
+) -> comp.RenderOutputs:
+    """Render [H, W] outputs via the tile decomposition."""
+    grid_x = (width + tile - 1) // tile
+    grid_y = (height + tile - 1) // tile
+    num_tiles = grid_x * grid_y
+    capacity = binning.order.shape[0]
+    if max_per_tile is None:
+        max_per_tile = capacity
+    steps = max(1, -(-max_per_tile // chunk))
+
+    xy, conic, opac, feats, gid = gather_sorted(proj, colors, flow, binning)
+
+    pixf = tile_pixels(grid_x, grid_y, tile)  # [T, S, 2]
+    if subpixel_offset is not None:
+        pad_y = grid_y * tile - height
+        pad_x = grid_x * tile - width
+        off = jnp.pad(subpixel_offset, ((0, pad_y), (0, pad_x), (0, 0)))
+        off = (
+            off.reshape(grid_y, tile, grid_x, tile, 2)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(num_tiles, tile * tile, 2)
+        )
+        pixf = pixf + off
+
+    start = binning.tile_start  # [T]
+    stop = binning.tile_stop
+
+    def step_fn(carry, j):
+        idx = start[:, None] + j * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        ok = idx < stop[:, None]
+        idx_c = jnp.clip(idx, 0, capacity - 1)
+        # [T, 1, C, ...] broadcasting against pixel dim S
+        xy_c = jnp.take(xy, idx_c, axis=0)[:, None]
+        conic_c = jnp.take(conic, idx_c, axis=0)[:, None]
+        opac_c = jnp.take(opac, idx_c, axis=0)[:, None]
+        feats_c = jnp.take(feats, idx_c, axis=0)[:, None]
+        gid_c = jnp.take(gid, idx_c, axis=0)[:, None]
+        carry = comp.blend_chunk(
+            carry, pixf, xy_c, conic_c, opac_c, feats_c, ok[:, None], gid_c
+        )
+        return carry, None
+
+    carry0 = comp.init_carry((num_tiles, tile * tile), 8)
+    carry, _ = jax.lax.scan(step_fn, carry0, jnp.arange(steps, dtype=jnp.int32))
+    out = comp.finalize(carry, bg, max_depth)
+
+    def to_image(arr):
+        ch = arr.shape[2:]
+        img = arr.reshape(grid_y, grid_x, tile, tile, *ch)
+        img = jnp.moveaxis(img, 2, 1).reshape(grid_y * tile, grid_x * tile, *ch)
+        return img[:height, :width]
+
+    return comp.RenderOutputs(
+        color=to_image(out.color),
+        depth=to_image(out.depth),
+        flow=to_image(out.flow),
+        acc=to_image(out.acc),
+        final_t=to_image(out.final_t),
+        idx=to_image(out.idx),
+    )

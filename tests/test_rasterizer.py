@@ -1,0 +1,216 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ex4dgs_tpu.ops import math3d as m3
+from ex4dgs_tpu.ops.binning import bin_gaussians, Binning
+from ex4dgs_tpu.ops.projection import project_gaussians, compute_cov3d, tile_grid
+from ex4dgs_tpu.ops.rasterize_dense import rasterize_dense
+from ex4dgs_tpu.ops.rasterize_tiled import rasterize_tiled
+
+from scenes import make_camera, random_gaussians
+
+W, H = 64, 48
+FAR = 100.0
+NEAR = 0.2
+KERNEL = 0.1
+
+
+def project_scene(scene, cam, camdims, mean2d_offset=None):
+    cov3d = compute_cov3d(jnp.exp(scene["log_scales"]), scene["quats"])
+    opac = jax.nn.sigmoid(scene["opacity_logit"])[:, 0]
+    proj = project_gaussians(
+        scene["means"],
+        cov3d,
+        opac,
+        cam,
+        kernel_size=KERNEL,
+        min_depth=NEAR,
+        max_depth=FAR,
+        mean2d_ndc_offset=mean2d_offset,
+        **camdims,
+    )
+    sh = jnp.concatenate([scene["sh_dc"], scene["sh_rest"]], axis=1)
+    colors = m3.sh_to_rgb(3, sh, scene["means"], cam.campos)
+    return proj, colors
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cam, camdims = make_camera(W, H)
+    scene = random_gaussians(300, seed=3)
+    proj, colors = project_scene(scene, cam, camdims)
+    flow = jnp.zeros((300, 3))
+    bg = jnp.array([0.1, 0.2, 0.3], jnp.float32)
+    return cam, camdims, scene, proj, colors, flow, bg
+
+
+def test_projection_sanity(setup):
+    _, _, _, proj, _, _, _ = setup
+    assert bool(proj.valid.any())
+    assert bool((proj.radius[proj.valid] > 0).all())
+    assert bool((proj.depth[proj.valid] > NEAR).all())
+    tt = np.asarray(proj.tiles_touched)
+    rect_area = np.asarray(
+        (proj.rect_max[:, 0] - proj.rect_min[:, 0]) * (proj.rect_max[:, 1] - proj.rect_min[:, 1])
+    )
+    np.testing.assert_array_equal(tt[np.asarray(proj.valid)], rect_area[np.asarray(proj.valid)])
+
+
+def test_binning_matches_bruteforce(setup):
+    _, _, _, proj, _, _, _ = setup
+    gx, gy = tile_grid(W, H)
+    total = int(np.asarray(proj.tiles_touched).sum())
+    b = bin_gaussians(proj, gx, gy, capacity=max(64, total + 7))
+    assert int(b.total) == total
+
+    # Brute-force per-tile sets and depth order.
+    rect_min = np.asarray(proj.rect_min)
+    rect_max = np.asarray(proj.rect_max)
+    depth = np.asarray(proj.depth)
+    valid = np.asarray(proj.valid)
+    order = np.asarray(b.order)
+    start = np.asarray(b.tile_start)
+    stop = np.asarray(b.tile_stop)
+    for t in range(gx * gy):
+        ty, tx = divmod(t, gx)
+        members = [
+            g
+            for g in range(len(depth))
+            if valid[g]
+            and rect_min[g, 0] <= tx < rect_max[g, 0]
+            and rect_min[g, 1] <= ty < rect_max[g, 1]
+        ]
+        members.sort(key=lambda g: (depth[g], g))
+        got = list(order[start[t] : stop[t]])
+        assert got == members, f"tile {t}: {got} != {members}"
+
+
+def test_dense_tiled_agree(setup):
+    _, _, _, proj, colors, flow, bg = setup
+    gx, gy = tile_grid(W, H)
+    total = int(np.asarray(proj.tiles_touched).sum())
+    b = bin_gaussians(proj, gx, gy, capacity=total)
+    dense = rasterize_dense(
+        proj, colors, flow, width=W, height=H, bg=bg, max_depth=FAR
+    )
+    tiled = rasterize_tiled(
+        proj, colors, flow, b, width=W, height=H, bg=bg, max_depth=FAR, chunk=32
+    )
+    np.testing.assert_allclose(np.asarray(dense.color), np.asarray(tiled.color), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dense.depth), np.asarray(tiled.depth), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dense.acc), np.asarray(tiled.acc), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dense.final_t), np.asarray(tiled.final_t), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(dense.idx), np.asarray(tiled.idx))
+
+
+def test_render_nonempty(setup):
+    _, _, _, proj, colors, flow, bg = setup
+    dense = rasterize_dense(proj, colors, flow, width=W, height=H, bg=bg, max_depth=FAR)
+    acc = np.asarray(dense.acc)
+    assert acc.max() > 0.5  # something rendered
+    assert acc.min() >= 0.0
+    color = np.asarray(dense.color)
+    assert np.isfinite(color).all()
+    # empty pixels get background + far depth
+    empty = acc == 0
+    if empty.any():
+        np.testing.assert_allclose(np.asarray(dense.depth)[empty], FAR)
+
+
+def _loss_through(render_fn, scene, cam, camdims, bg):
+    def loss(params):
+        sc = dict(scene)
+        sc.update(params)
+        proj, colors = project_scene(sc, cam, camdims)
+        gx, gy = tile_grid(W, H)
+        out = render_fn(proj, colors, gx, gy)
+        img = out.color
+        target = jnp.linspace(0, 1, img.size).reshape(img.shape)
+        return jnp.abs(img - target).mean()
+
+    return loss
+
+
+def test_grads_dense_vs_tiled(setup):
+    cam, camdims, scene, proj, colors, flow, bg = setup
+    gx, gy = tile_grid(W, H)
+    total = int(np.asarray(proj.tiles_touched).sum())
+
+    params = {k: scene[k] for k in ["means", "log_scales", "quats", "opacity_logit", "sh_dc"]}
+
+    def dense_render(proj, colors, gx, gy):
+        return rasterize_dense(
+            proj, colors, jnp.zeros_like(colors), width=W, height=H, bg=bg, max_depth=FAR
+        )
+
+    def tiled_render(proj, colors, gx, gy):
+        b = bin_gaussians(proj, gx, gy, capacity=total + 16)
+        return rasterize_tiled(
+            proj,
+            colors,
+            jnp.zeros_like(colors),
+            b,
+            width=W,
+            height=H,
+            bg=bg,
+            max_depth=FAR,
+            chunk=64,
+        )
+
+    g_dense = jax.grad(_loss_through(dense_render, scene, cam, camdims, bg))(params)
+    g_tiled = jax.grad(_loss_through(tiled_render, scene, cam, camdims, bg))(params)
+    for k in params:
+        gd, gt = np.asarray(g_dense[k]), np.asarray(g_tiled[k])
+        assert np.isfinite(gd).all(), k
+        scale = max(np.abs(gd).max(), 1e-8)
+        np.testing.assert_allclose(gd, gt, atol=5e-4 * scale + 1e-8, err_msg=k)
+    # gradients actually flow
+    assert np.abs(np.asarray(g_dense["means"])).max() > 0
+
+
+def test_flow_gradient_channel(setup):
+    """The error-backtracking channel: cotangent on the flow output must land
+    on per-Gaussian flow vectors as w_i/acc accumulation and nowhere else."""
+    cam, camdims, scene, proj, colors, _, bg = setup
+    gx, gy = tile_grid(W, H)
+    total = int(np.asarray(proj.tiles_touched).sum())
+    b = bin_gaussians(proj, gx, gy, capacity=total)
+
+    def flow_out(flowvec, opacity_logit):
+        sc = dict(scene)
+        sc["opacity_logit"] = opacity_logit
+        proj2, colors2 = project_scene(sc, cam, camdims)
+        out = rasterize_tiled(
+            proj2, colors2, flowvec, b, width=W, height=H, bg=bg, max_depth=FAR, chunk=64
+        )
+        return out.flow
+
+    flow0 = jnp.zeros((300, 3))
+    hook = jnp.ones((H, W, 3))  # fake cotangent, like the reference's hook
+    _, vjp = jax.vjp(flow_out, flow0, scene["opacity_logit"])
+    d_flow, d_opac = vjp(hook)
+    d_flow = np.asarray(d_flow)
+    assert d_flow.max() > 0  # visible gaussians accumulate weight
+    np.testing.assert_allclose(np.asarray(d_opac), 0.0, atol=1e-8)  # no leak into alpha
+
+    # d_flow[g] = sum_pix w_g(pix)/acc(pix): bounded by pixel count, >=0
+    assert (d_flow >= -1e-6).all()
+
+
+def test_mean2d_offset_grad(setup):
+    """Densification-stats channel: gradient w.r.t. the NDC dummy offset."""
+    cam, camdims, scene, proj, colors, flow, bg = setup
+
+    def loss(offset):
+        proj2, colors2 = project_scene(scene, cam, camdims, mean2d_offset=offset)
+        out = rasterize_dense(
+            proj2, colors2, flow, width=W, height=H, bg=bg, max_depth=FAR
+        )
+        return (out.color**2).sum()
+
+    g = jax.grad(loss)(jnp.zeros((300, 3)))
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g[:, :2]).max() > 0
