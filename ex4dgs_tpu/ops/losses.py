@@ -1,0 +1,86 @@
+"""Image losses and metrics: L1, windowed SSIM, PSNR.
+
+Numerics mirror the reference (utils/loss_utils.py:22-81, utils/image_utils.py:14-19):
+SSIM uses an 11x11 Gaussian window (sigma 1.5), same-padding depthwise conv,
+C1=0.01^2, C2=0.03^2. Images are channel-last [H, W, C] here (TPU-friendly);
+the depthwise convolution lowers to XLA's fused conv on the MXU.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(pred - gt).mean()
+
+
+def l2_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return ((pred - gt) ** 2).mean()
+
+
+def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Peak signal-to-noise ratio over the whole image (image_utils.py:17-19)."""
+    mse = jnp.mean((pred - gt) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window(window_size: int, sigma: float) -> tuple:
+    g = [math.exp(-((x - window_size // 2) ** 2) / (2 * sigma**2)) for x in range(window_size)]
+    s = sum(g)
+    return tuple(v / s for v in g)
+
+
+def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of [H, W, C] with zero same-padding.
+
+    Matches F.conv2d(..., padding=window//2) in the reference: zero padding,
+    not reflection. Separable (two rank-1 convs) — mathematically identical to
+    the reference's full 2D window since it is an outer product."""
+    w = jnp.asarray(_gaussian_window(window_size, sigma), img.dtype)
+    c = img.shape[-1]
+    x = img[None]  # [1, H, W, C]
+    kh = jnp.tile(w.reshape(window_size, 1, 1, 1), (1, 1, 1, c))
+    kw = jnp.tile(w.reshape(1, window_size, 1, 1), (1, 1, 1, c))
+    dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+    pad = window_size // 2
+    x = lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
+                                 feature_group_count=c)
+    x = lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
+                                 feature_group_count=c)
+    return x[0]
+
+
+def ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    reduce: bool = True,
+) -> jnp.ndarray:
+    """SSIM of [H, W, C] images; reduce=False returns the per-pixel map [H, W, C]."""
+    blur = lambda x: _depthwise_blur(x, window_size, sigma)
+    mu1 = blur(img1)
+    mu2 = blur(img2)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = blur(img1 * img1) - mu1_sq
+    sigma2_sq = blur(img2 * img2) - mu2_sq
+    sigma12 = blur(img1 * img2) - mu1_mu2
+    c1 = 0.01**2
+    c2 = 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    return ssim_map.mean() if reduce else ssim_map
+
+
+def combined_loss(pred: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float = 0.2):
+    """(1-λ)·L1 + λ·(1-SSIM) — the training loss (train.py:144-145)."""
+    ll1 = l1_loss(pred, gt)
+    return (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(pred, gt)), ll1

@@ -1,0 +1,193 @@
+"""Public render API — the functional equivalent of the reference's
+gaussian_renderer.render() (gaussian_renderer/__init__.py:19-124).
+
+`render(camera, model, cfg, ...)` returns the same logical outputs: color,
+depth, optical flow, accumulated alpha, dominant-contributor index, per-splat
+radii and visibility. Instead of the reference's hooked dummy tensors
+(screenspace_points / flow with retain_grad), callers that need the
+densification / error-backtracking gradients pass explicit zero tensors
+(`mean2d_offset`, `flow_dirs`) and differentiate with respect to them —
+the JAX-native version of the same trick (see train/step.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .models.config import ModelConfig
+from .models.state import GaussianModel
+from .models.temporal import PointData, point_data_at_t
+from .ops import binning as binning_ops
+from .ops import compositing as comp
+from .ops import rasterize_tiled
+from .ops.math3d import sh_to_rgb
+from .ops.projection import CameraArrays, Projected, project_gaussians, tile_grid
+
+
+@jax.tree_util.register_pytree_node_class
+class RenderCamera:
+    """Device-side camera: matrices + intrinsics (scene/cameras.py analog).
+
+    Registered as a pytree so it flows through jit: matrices / camera center /
+    tan-FoVs are traced leaves (Technicolor has per-camera focals — no
+    recompiles per camera), while width/height are static aux data (they set
+    array shapes)."""
+
+    def __init__(self, view, proj, campos, width: int, height: int, tan_fovx, tan_fovy):
+        self.view = view  # [4,4] world->camera
+        self.proj = proj  # [4,4] P @ view
+        self.campos = campos  # [3]
+        self.width = int(width)
+        self.height = int(height)
+        self.tan_fovx = tan_fovx
+        self.tan_fovy = tan_fovy
+
+    @classmethod
+    def from_fov(cls, view, proj, campos, width, height, fovx, fovy):
+        return cls(
+            view=jnp.asarray(view, jnp.float32),
+            proj=jnp.asarray(proj, jnp.float32),
+            campos=jnp.asarray(campos, jnp.float32),
+            width=int(width),
+            height=int(height),
+            tan_fovx=jnp.asarray(math.tan(fovx * 0.5), jnp.float32),
+            tan_fovy=jnp.asarray(math.tan(fovy * 0.5), jnp.float32),
+        )
+
+    def tree_flatten(self):
+        return (self.view, self.proj, self.campos, self.tan_fovx, self.tan_fovy), (
+            self.width,
+            self.height,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        view, proj, campos, tan_fovx, tan_fovy = leaves
+        return cls(view, proj, campos, aux[0], aux[1], tan_fovx, tan_fovy)
+
+    @property
+    def arrays(self) -> CameraArrays:
+        return CameraArrays(view=self.view, proj=self.proj, campos=self.campos)
+
+
+class RenderResult(NamedTuple):
+    render: jnp.ndarray  # [H, W, 3]
+    depth: jnp.ndarray  # [H, W]
+    opticalflow: jnp.ndarray  # [H, W, 3]
+    acc: jnp.ndarray  # [H, W]
+    dominent_idxs: jnp.ndarray  # [H, W] int32 (-1 empty)
+    radii: jnp.ndarray  # [P] int32
+    visibility_filter: jnp.ndarray  # [P] bool (radii > 0)
+    static_num: int
+    projected: Projected
+    binning_total: jnp.ndarray  # [] int32 true instance count (overflow check)
+
+
+def render_points(
+    pts: PointData,
+    cam: RenderCamera,
+    cfg: ModelConfig,
+    *,
+    bg: jnp.ndarray,
+    near: float | None = None,
+    far: float | None = None,
+    scaling_modifier: float = 1.0,
+    capacity: int | None = None,
+    chunk: int = 128,
+    max_per_tile: int | None = None,
+    mean2d_offset: jnp.ndarray | None = None,
+    flow_dirs: jnp.ndarray | None = None,
+    override_color: jnp.ndarray | None = None,
+    subpixel_offset: jnp.ndarray | None = None,
+) -> RenderResult:
+    """Rasterize pre-assembled per-frame point data."""
+    from .ops.math3d import cov3d_from_scaling_rotation
+
+    near = cfg.near if near is None else near
+    far = cfg.far if far is None else far
+    P = pts.means3d.shape[0]
+    if capacity is None:
+        capacity = default_capacity(P, cam.width, cam.height)
+    if flow_dirs is None:
+        flow_dirs = jnp.zeros((P, 3), jnp.float32)
+
+    cov3d = cov3d_from_scaling_rotation(pts.scales, pts.rotations, scaling_modifier)
+    proj = project_gaussians(
+        pts.means3d,
+        cov3d,
+        pts.opacity,
+        cam.arrays,
+        width=cam.width,
+        height=cam.height,
+        tan_fovx=cam.tan_fovx,
+        tan_fovy=cam.tan_fovy,
+        kernel_size=cfg.kernel_size,
+        min_depth=near,
+        max_depth=far,
+        mean2d_ndc_offset=mean2d_offset,
+    )
+    # Capacity-padding mask: inactive rows are simply invalid.
+    proj = proj._replace(
+        valid=proj.valid & pts.mask,
+        tiles_touched=jnp.where(pts.mask, proj.tiles_touched, 0),
+        radius=jnp.where(pts.mask, proj.radius, 0),
+    )
+
+    if override_color is not None:
+        colors = override_color
+    else:
+        colors = sh_to_rgb(3, pts.features, pts.means3d, cam.campos)
+
+    grid_x, grid_y = tile_grid(cam.width, cam.height)
+    binning = binning_ops.bin_gaussians(proj, grid_x, grid_y, capacity)
+    out = rasterize_tiled.rasterize_tiled(
+        proj,
+        colors,
+        flow_dirs,
+        binning,
+        width=cam.width,
+        height=cam.height,
+        bg=bg,
+        max_depth=far,
+        chunk=chunk,
+        max_per_tile=max_per_tile,
+        subpixel_offset=subpixel_offset,
+    )
+    return RenderResult(
+        render=out.color,
+        depth=out.depth,
+        opticalflow=out.flow,
+        acc=out.acc,
+        dominent_idxs=out.idx,
+        radii=proj.radius,
+        visibility_filter=proj.radius > 0,
+        static_num=pts.static_num,
+        projected=proj,
+        binning_total=binning.total,
+    )
+
+
+def render(
+    cam: RenderCamera,
+    model: GaussianModel,
+    cfg: ModelConfig,
+    *,
+    t,
+    bg: jnp.ndarray,
+    mode: int = 0,
+    **kwargs,
+) -> RenderResult:
+    """Render the model at timestamp t (the reference render() entrypoint)."""
+    pts = point_data_at_t(model, cfg, t, mode=mode)
+    return render_points(pts, cam, cfg, bg=bg, **kwargs)
+
+
+def default_capacity(num_points: int, width: int, height: int) -> int:
+    """Static instance-buffer bound: generous tiles-per-splat allowance,
+    rounded to keep the number of distinct compiled shapes tiny."""
+    grid_x, grid_y = tile_grid(width, height)
+    cap = max(8 * num_points, 64 * grid_x * grid_y)
+    return binning_ops.required_capacity(cap)
