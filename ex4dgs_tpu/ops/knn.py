@@ -47,8 +47,15 @@ def morton_codes(points: jnp.ndarray, perm=(0, 1, 2)) -> jnp.ndarray:
     ).astype(jnp.uint32)
 
 
-def mean_knn_dist2(points: jnp.ndarray, k: int = 3, window: int = 64) -> jnp.ndarray:
-    """Mean of squared distances to the (approximate) k nearest neighbors."""
+def mean_knn_dist2(
+    points: jnp.ndarray, k: int = 3, window: int = 64, row_chunk: int = 8192
+) -> jnp.ndarray:
+    """Mean of squared distances to the (approximate) k nearest neighbors.
+
+    Distance evaluation is chunked over point rows (lax.map) so the
+    [rows, 6*window, 3] candidate gather never materializes for the whole
+    cloud at once — at N3V init sizes the un-chunked intermediate would
+    exceed HBM."""
     P = points.shape[0]
     q = _quantize(points)
     offs = jnp.concatenate(
@@ -70,16 +77,29 @@ def mean_knn_dist2(points: jnp.ndarray, k: int = 3, window: int = 64) -> jnp.nda
         cand.append(jnp.where(ok, nbr, P))  # P = sentinel "no candidate"
 
     cand = jnp.concatenate(cand, axis=1)  # [P, 3*2W]
-    cand = jnp.sort(cand, axis=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((P, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
+
+    pad = (-P) % row_chunk
+    cand_p = jnp.pad(cand, ((0, pad), (0, 0)), constant_values=P)
+    pts_p = jnp.pad(points, ((0, pad), (0, 0)))
+
+    def _rows(args):
+        c, p = args  # [R, C] int32, [R, 3]
+        c = jnp.sort(c, axis=1)
+        dup = jnp.concatenate([jnp.zeros((c.shape[0], 1), bool), c[:, 1:] == c[:, :-1]], 1)
+        valid = (c < P) & ~dup
+        nbr_pts = jnp.take(points, jnp.clip(c, 0, P - 1), axis=0)  # [R, C, 3]
+        d2 = jnp.sum((nbr_pts - p[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(valid, d2, jnp.inf)
+        knn = -jax.lax.top_k(-d2, k)[0]  # k smallest
+        finite = jnp.isfinite(knn)
+        return jnp.where(finite, knn, 0.0).sum(-1) / jnp.maximum(finite.sum(-1), 1)
+
+    n_chunks = (P + pad) // row_chunk
+    out = jax.lax.map(
+        _rows,
+        (
+            cand_p.reshape(n_chunks, row_chunk, -1),
+            pts_p.reshape(n_chunks, row_chunk, 3),
+        ),
     )
-    valid = (cand < P) & ~dup
-    nbr_pts = jnp.take(points, jnp.clip(cand, 0, P - 1), axis=0)  # [P, C, 3]
-    d2 = jnp.sum((nbr_pts - points[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(valid, d2, jnp.inf)
-    knn = -jax.lax.top_k(-d2, k)[0]  # k smallest
-    finite = jnp.isfinite(knn)
-    return jnp.where(finite, knn, 0.0).sum(axis=-1) / jnp.maximum(
-        finite.sum(axis=-1), 1
-    )
+    return out.reshape(-1)[:P]

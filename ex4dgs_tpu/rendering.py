@@ -104,8 +104,6 @@ def render_points(
     subpixel_offset: jnp.ndarray | None = None,
 ) -> RenderResult:
     """Rasterize pre-assembled per-frame point data."""
-    from .ops.math3d import cov3d_from_scaling_rotation
-
     near = cfg.near if near is None else near
     far = cfg.far if far is None else far
     P = pts.means3d.shape[0]
@@ -113,6 +111,33 @@ def render_points(
         capacity = default_capacity(P, cam.width, cam.height)
     if flow_dirs is None:
         flow_dirs = jnp.zeros((P, 3), jnp.float32)
+
+    proj, colors = preprocess_points(
+        pts, cam, cfg, near=near, far=far, scaling_modifier=scaling_modifier,
+        mean2d_offset=mean2d_offset, override_color=override_color,
+    )
+    return composite_projected(
+        proj, colors, flow_dirs, cam, bg=bg, far=far, capacity=capacity,
+        chunk=chunk, max_per_tile=max_per_tile, subpixel_offset=subpixel_offset,
+        static_num=pts.static_num,
+    )
+
+
+def preprocess_points(
+    pts: PointData,
+    cam: RenderCamera,
+    cfg: ModelConfig,
+    *,
+    near: float,
+    far: float,
+    scaling_modifier: float = 1.0,
+    mean2d_offset: jnp.ndarray | None = None,
+    override_color: jnp.ndarray | None = None,
+) -> tuple[Projected, jnp.ndarray]:
+    """Per-Gaussian stage: covariance, EWA projection, SH->RGB. This is the
+    stage the parallel layer shards over the `gauss` mesh axis (all rows are
+    independent); the compositing stage below needs the gathered whole."""
+    from .ops.math3d import cov3d_from_scaling_rotation
 
     cov3d = cov3d_from_scaling_rotation(pts.scales, pts.rotations, scaling_modifier)
     proj = project_gaussians(
@@ -135,12 +160,28 @@ def render_points(
         tiles_touched=jnp.where(pts.mask, proj.tiles_touched, 0),
         radius=jnp.where(pts.mask, proj.radius, 0),
     )
-
     if override_color is not None:
         colors = override_color
     else:
         colors = sh_to_rgb(3, pts.features, pts.means3d, cam.campos)
+    return proj, colors
 
+
+def composite_projected(
+    proj: Projected,
+    colors: jnp.ndarray,
+    flow_dirs: jnp.ndarray,
+    cam: RenderCamera,
+    *,
+    bg: jnp.ndarray,
+    far: float,
+    capacity: int,
+    chunk: int = 128,
+    max_per_tile: int | None = None,
+    subpixel_offset: jnp.ndarray | None = None,
+    static_num: int = 0,
+) -> RenderResult:
+    """Binning + tile compositing of already-projected Gaussians."""
     grid_x, grid_y = tile_grid(cam.width, cam.height)
     binning = binning_ops.bin_gaussians(proj, grid_x, grid_y, capacity)
     out = rasterize_tiled.rasterize_tiled(
@@ -164,7 +205,7 @@ def render_points(
         dominent_idxs=out.idx,
         radii=proj.radius,
         visibility_filter=proj.radius > 0,
-        static_num=pts.static_num,
+        static_num=static_num,
         projected=proj,
         binning_total=binning.total,
     )
