@@ -1,0 +1,187 @@
+"""Scene orchestration: loader dispatch, camera lists, temporal padding,
+progressive sampling window, and threaded image prefetch.
+
+Mirrors the reference Scene (scene/__init__.py:40-281): cameras sorted by
+(timestamp, colmap_id), duration auto-detect, reflect/repeat timepad, the
+`set_sampling_len` progressive window, and lazy image loading — joblib/loky
+worker processes replaced by a thread-pool prefetcher feeding numpy arrays
+(decode releases the GIL in PIL; the trainer overlaps decode with TPU steps).
+"""
+from __future__ import annotations
+
+import copy
+import json
+import os
+import random
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .cameras import Camera, camera_from_info, camera_to_json
+from .readers import SCENE_READERS, SceneInfo
+
+
+def load_image(path: str, resolution: tuple[int, int], im_scale: float = 1.0):
+    """Decode + resize to [H, W, 3] float32 in [0, 1] (cameras.py PILtoTorch
+    analog, channel-last)."""
+    from PIL import Image, ImageFile
+
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    img = Image.open(path)
+    img = img.resize(resolution, Image.Resampling.LANCZOS)
+    arr = np.asarray(img, dtype=np.float32)[..., :3] / 255.0
+    if im_scale != 1.0:
+        arr = np.clip(arr / im_scale, 0.0, 1.0)
+    return arr
+
+
+class Scene:
+    def __init__(self, cfg, scene_info: SceneInfo | None = None,
+                 model_path: str | None = None, save_input: bool = False):
+        """cfg: ModelConfig. scene_info may be injected (tests/synthetic)."""
+        self.cfg = cfg
+        self.model_path = model_path or cfg.model_path
+        if scene_info is None:
+            reader = SCENE_READERS.get(cfg.loader)
+            if reader is None:
+                raise ValueError(f"unknown loader {cfg.loader!r}")
+            scene_info = reader(cfg.source_path, cfg)
+        self.info = scene_info
+        self.cameras_extent = float(scene_info.nerf_normalization["radius"])
+
+        def im_scale_for(info):
+            # per-camera exposure compensation (cameras.py:259-272)
+            scale = 1.0
+            sp = cfg.source_path
+            nm = info.image_name
+            if "01_Welder" in sp and "camera_0009" in nm:
+                scale = 1.15
+            if "12_Cave" in sp and "camera_0009" in nm:
+                scale = 1.15
+            if "04_Truck" in sp and "camera_0008" in nm:
+                scale = 1.2
+            return scale
+
+        self.train_cameras = [
+            camera_from_info(ci, i, cfg.resolution, im_scale=im_scale_for(ci))
+            for i, ci in enumerate(scene_info.train_cameras)
+        ]
+        self.test_cameras = [
+            camera_from_info(ci, i, cfg.resolution)
+            for i, ci in enumerate(scene_info.test_cameras)
+        ]
+        self.train_cameras.sort(key=lambda c: (c.timestamp, c.colmap_id))
+        self.test_cameras.sort(key=lambda c: (c.timestamp, c.colmap_id))
+
+        unique_times = {c.timestamp for c in self.train_cameras}
+        unique_cids = {c.colmap_id for c in self.train_cameras}
+        self.cam_num = len(unique_cids)
+        self.duration = cfg.duration
+        if self.duration < 0:
+            self.duration = max(
+                len(unique_times), len({c.timestamp for c in self.test_cameras})
+            )
+
+        self.sample_len = self.duration
+        self.min_timestamp = 0
+
+        if save_input and self.model_path:
+            os.makedirs(self.model_path, exist_ok=True)
+            cams = [camera_to_json(i, c)
+                    for i, c in enumerate(self.test_cameras + self.train_cameras)]
+            with open(os.path.join(self.model_path, "cameras.json"), "w") as f:
+                json.dump(cams, f)
+
+    # -- temporal padding (scene/__init__.py:125-163) ----------------------
+    def apply_timepad(self, time_pad: int, pad_type: int) -> None:
+        if pad_type == 0 or time_pad <= 0 or not self.train_cameras:
+            return
+        cams = self.train_cameras
+        cid_len = self.cam_num
+        times = [c.timestamp for c in cams]
+        if pad_type == 1:  # reflect
+            prefix = copy.deepcopy(cams[cid_len:cid_len * (time_pad + 1)])
+            tmin = min(times)
+            for c in prefix:
+                c.timestamp = 2 * tmin - c.timestamp
+            postfix = copy.deepcopy(cams[-cid_len * (time_pad + 1):-cid_len])
+            tmax = max(times)
+            for c in postfix:
+                c.timestamp = 2 * tmax - c.timestamp
+            cams = prefix + cams + postfix
+        elif pad_type == 2:  # repeat
+            first = cams[:cid_len]
+            last = cams[-cid_len:]
+            prefix, postfix = [], []
+            for i in range(time_pad + 1):
+                nf = copy.deepcopy(first)
+                for c in nf:
+                    c.timestamp -= i
+                prefix = nf + prefix
+                nl = copy.deepcopy(last)
+                for c in nl:
+                    c.timestamp += i
+                postfix = postfix + nl
+        else:
+            raise ValueError(f"unknown time_pad_type {pad_type}")
+        if pad_type == 2:
+            cams = prefix + cams + postfix
+        self.train_cameras = sorted(cams, key=lambda c: (c.timestamp, c.colmap_id))
+
+    # -- progressive sampling window (scene/__init__.py:270-274) ------------
+    def set_sampling_len(self, sample_len, min_timestamp=0, sample_every=1):
+        self.sample_len = sample_len
+        self.min_timestamp = min_timestamp
+        self._sample = [
+            (c.timestamp <= sample_len and c.timestamp >= min_timestamp
+             and c.timestamp % sample_every == 0)
+            for c in self.train_cameras
+        ]
+        self._test_sample = [c.timestamp <= sample_len for c in self.test_cameras]
+
+    def sampled_train_cameras(self) -> list[Camera]:
+        if not hasattr(self, "_sample"):
+            self.set_sampling_len(self.sample_len)
+        return [c for c, keep in zip(self.train_cameras, self._sample) if keep]
+
+    def sampled_test_cameras(self) -> list[Camera]:
+        if not hasattr(self, "_test_sample"):
+            self.set_sampling_len(self.sample_len)
+        return [c for c, keep in zip(self.test_cameras, self._test_sample) if keep]
+
+
+class ImagePrefetcher:
+    """Threaded look-ahead image loader (replaces the joblib generator,
+    scene/__init__.py:199-204). Yields (camera, image[H,W,3] f32) with
+    `lookahead` decodes in flight."""
+
+    def __init__(self, workers: int = 4, lookahead: int = 8):
+        self.pool = ThreadPoolExecutor(max_workers=workers)
+        self.lookahead = lookahead
+
+    def epoch(self, cameras: list[Camera], shuffle: bool = True, rng=None):
+        cams = list(cameras)
+        if shuffle:
+            (rng or random).shuffle(cams)
+        futures = []
+        it = iter(cams)
+        pending_cams = []
+
+        def submit(cam):
+            futures.append(self.pool.submit(
+                load_image, cam.image_path, (cam.width, cam.height), cam.im_scale
+            ))
+            pending_cams.append(cam)
+
+        for cam in cams[: self.lookahead]:
+            submit(cam)
+        consumed = self.lookahead
+        i = 0
+        while i < len(cams):
+            img = futures[i].result()
+            cam = pending_cams[i]
+            if consumed < len(cams):
+                submit(cams[consumed])
+                consumed += 1
+            yield cam, img
+            i += 1

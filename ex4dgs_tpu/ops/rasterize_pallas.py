@@ -1,0 +1,515 @@
+"""Pallas TPU kernels for tile compositing — the hot path.
+
+TPU-native replacement for the reference's per-tile CUDA blend loops
+(cuda_rasterizer/forward.cu:274-462, backward.cu:426-682). Key design points:
+
+* After the (tile, depth) sort, each tile's instance list is CONTIGUOUS in
+  the sorted arrays — so per tile the kernel issues sequential HBM->VMEM DMAs
+  (no gathers, the thing XLA's fallback path is slowest at).
+* Per chunk of G=128 instances the blend is two shapes the hardware loves:
+  [256px, 128g] elementwise alpha math on the VPU and [256,128]x[128,8]
+  feature matmuls on the MXU; per-instance gradient reductions are
+  pixel-moment matmuls ([128,256]x[256,6]) on the MXU too.
+* Early termination (forward.cu:382-387) is a while_loop condition on the
+  max per-pixel transmittance of the tile — whole-tile granularity instead of
+  the reference's per-pixel `done` latch; identical images (post-latch
+  weights are exactly zero either way).
+* The backward (custom_vjp) walks front-to-back using the suffix identity
+  S_i = total_colordot - prefix_i — the same recurrence the reference
+  evaluates by re-walking back-to-front — and writes per-instance gradients;
+  each instance belongs to exactly one tile, so there are no atomics, and
+  the instance->Gaussian reduction is a deterministic XLA segment-sum outside.
+
+Numerics mirror ops/compositing.py (the portable oracle): alpha floor 1/255,
+0.99 clamp straight-through, T_EPS latch 1e-4, aux features blended with
+stop-gradient weights, acc fully stop-gradiented.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import compositing as comp
+from .binning import Binning
+from .projection import Projected, TILE
+
+G_CHUNK = 128
+N_PIX = TILE * TILE  # 256
+DATA_ROWS = 16  # packed per-instance rows (one sublane tile)
+# rows: 0 xy_x, 1 xy_y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
+#       6 r, 7 g, 8 b, 9 depth, 10 fx, 11 fy, 12 fz, 13 one, 14-15 pad
+N_ACC = 8  # accum channels: r g b depth fx fy fz acc
+
+
+def pack_sorted(proj: Projected, colors, flow, binning: Binning):
+    """Gather per-instance data in sorted order into a [16, capacity] matrix
+    (feature-major so a depth chunk is one contiguous [16, G] block)."""
+    g = binning.order
+    take = lambda a: jnp.take(a, g, axis=0)
+    xy = take(proj.xy)
+    conic = take(proj.conic)
+    opac = jnp.take(proj.opacity * proj.valid, g)
+    col = take(colors)
+    depth = jnp.take(proj.depth, g)
+    fl = take(flow)
+    ones = jnp.ones_like(opac)
+    zeros = jnp.zeros_like(opac)
+    data = jnp.stack(
+        [
+            xy[:, 0], xy[:, 1],
+            conic[:, 0], conic[:, 1], conic[:, 2],
+            opac,
+            col[:, 0], col[:, 1], col[:, 2],
+            depth,
+            fl[:, 0], fl[:, 1], fl[:, 2],
+            ones, zeros, zeros,
+        ],
+        axis=0,
+    )  # [16, capacity]
+    return data, g.astype(jnp.int32)
+
+
+def _lane_cumprod(x):
+    """Inclusive cumulative product along the lane (last) axis via log-step
+    shifted multiplies (Hillis-Steele) — portable across Mosaic versions."""
+    g = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    s = 1
+    while s < g:
+        shifted = pltpu.roll(x, s, axis=len(x.shape) - 1)
+        x = x * jnp.where(lane >= s, shifted, 1.0)
+        s *= 2
+    return x
+
+
+def _lane_cumsum(x):
+    """Inclusive cumulative sum along the lane axis (Hillis-Steele)."""
+    g = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    s = 1
+    while s < g:
+        shifted = pltpu.roll(x, s, axis=len(x.shape) - 1)
+        x = x + jnp.where(lane >= s, shifted, 0.0)
+        s *= 2
+    return x
+
+
+def _shift_right_one(x, fill):
+    """Exclusive shift along lanes: out[..., i] = x[..., i-1], out[..., 0]=fill."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    return jnp.where(lane >= 1, pltpu.roll(x, 1, axis=len(x.shape) - 1), fill)
+
+
+def _pixel_coords(tile_idx, grid_x):
+    """Per-tile pixel centers, [N_PIX, 1] each for x and y."""
+    ty = tile_idx // grid_x
+    tx = tile_idx - ty * grid_x
+    p = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, 1), 0)
+    px = (tx * TILE + p % TILE).astype(jnp.float32)
+    py = (ty * TILE + p // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alpha(chunk, px, py, lo, hi):
+    """Alpha pieces for one [16, G] chunk against the tile's pixels.
+
+    Lanes in [lo, hi) hold this tile's instances (DMA windows are 128-aligned,
+    so a window may straddle the tile's range ends); others are masked out.
+    Returns (alpha, alpha_raw, exp_term, mask), each [N_PIX, G]."""
+    xs = chunk[0:1, :]  # [1, G]
+    ys = chunk[1:2, :]
+    ca = chunk[2:3, :]
+    cb = chunk[3:4, :]
+    cc = chunk[4:5, :]
+    op = chunk[5:6, :]
+    dx = xs - px  # [N_PIX, G]
+    dy = ys - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    expt = jnp.exp(jnp.minimum(power, 0.0))
+    alpha_raw = op * expt
+    alpha_c = jnp.minimum(alpha_raw, comp.ALPHA_MAX)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, G_CHUNK), 1)
+    m = (lane >= lo) & (lane < hi) & (power <= 0.0) & (alpha_c >= comp.ALPHA_MIN)
+    alpha = jnp.where(m, alpha_c, 0.0)
+    return alpha, jnp.where(m, alpha_raw, 0.0), jnp.where(m, expt, 0.0), m
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _forward_kernel(starts, stops, data_hbm, gid_hbm, accum_out, tfinal_out,
+                    bestidx_out, buf, gbuf, cum_ref, tfin_ref, best_ref,
+                    bid_ref, acc_ref, sem, gsem, *, grid_x):
+    t = pl.program_id(0)
+    start = starts[t]
+    stop = stops[t]
+    base = (start // G_CHUNK) * G_CHUNK  # 128-aligned DMA origin
+    nchunks = pl.cdiv(stop - base, G_CHUNK)
+    px, py = _pixel_coords(t, grid_x)
+
+    acc_ref[:] = jnp.zeros((N_PIX, N_ACC), jnp.float32)
+    cum_ref[:] = jnp.ones((N_PIX, 1), jnp.float32)
+    tfin_ref[:] = jnp.full((N_PIX, 1), comp.T_SENTINEL, jnp.float32)
+    best_ref[:] = jnp.zeros((N_PIX, 1), jnp.float32)
+    bid_ref[:] = jnp.full((N_PIX, 1), -1, jnp.int32)
+
+    def body(carry):
+        j, _ = carry
+        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+        dma = pltpu.make_async_copy(data_hbm.at[:, pl.ds(off, G_CHUNK)], buf, sem)
+        dma.start()
+        gdma = pltpu.make_async_copy(gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf, gsem)
+        gdma.start()
+        dma.wait()
+        gdma.wait()
+        chunk = buf[:]
+        alpha, _, _, _ = _chunk_alpha(chunk, px, py, start - off, stop - off)
+
+        one_m = 1.0 - alpha
+        cum_in = cum_ref[:]  # [N_PIX, 1]
+        cum = cum_in * _lane_cumprod(one_m)  # inclusive [N_PIX, G]
+        cum_excl = _shift_right_one(cum, cum_in)
+        applied = (alpha > 0.0) & (cum >= comp.T_EPS)
+        w = jnp.where(applied, alpha * cum_excl, 0.0)
+
+        feats = chunk[6:6 + N_ACC, :]  # [8, G]
+        acc_ref[:] += jax.lax.dot_general(
+            w, feats, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        chunk_min = jnp.min(
+            jnp.where(applied, cum, comp.T_SENTINEL), axis=1, keepdims=True
+        )
+        tfin_ref[:] = jnp.minimum(tfin_ref[:], chunk_min)
+
+        cmax = jnp.max(w, axis=1, keepdims=True)
+        ids = jnp.broadcast_to(gbuf[0:1, :], (N_PIX, G_CHUNK))
+        # id of the max-weight lane (min id among exact ties — deterministic)
+        cid = jnp.min(
+            jnp.where((w == cmax) & (cmax > 0), ids, jnp.int32(2**30)),
+            axis=1, keepdims=True,
+        )
+        better = cmax > best_ref[:]
+        best_ref[:] = jnp.where(better, cmax, best_ref[:])
+        bid_ref[:] = jnp.where(better, cid, bid_ref[:])
+
+        new_cum = cum[:, -1:]
+        cum_ref[:] = new_cum
+        return j + 1, jnp.max(new_cum)
+
+    def cond(carry):
+        j, tmax = carry
+        return (j < nchunks) & (tmax >= comp.T_EPS)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+
+    accum_out[:] = acc_ref[:][None]
+    tfinal_out[:] = jnp.where(
+        tfin_ref[:] >= comp.T_SENTINEL, cum_ref[:], tfin_ref[:]
+    )[None]
+    bestidx_out[:] = bid_ref[:][None]
+
+
+def _forward_pallas(data, gid, starts, stops, *, num_tiles, grid_x, interpret=False):
+    kernel = functools.partial(_forward_kernel, grid_x=grid_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N_PIX, N_ACC), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_PIX, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_PIX, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((DATA_ROWS, G_CHUNK), jnp.float32),  # buf
+            pltpu.VMEM((1, G_CHUNK), jnp.int32),  # gbuf
+            pltpu.VMEM((N_PIX, 1), jnp.float32),  # cum
+            pltpu.VMEM((N_PIX, 1), jnp.float32),  # tfin
+            pltpu.VMEM((N_PIX, 1), jnp.float32),  # best w
+            pltpu.VMEM((N_PIX, 1), jnp.int32),  # best id
+            pltpu.VMEM((N_PIX, N_ACC), jnp.float32),  # accum
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, N_PIX, N_ACC), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, N_PIX, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, N_PIX, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(starts, stops, data, gid)
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
+                     tfin_in, _zeros_in, dgrad_out, buf, cum_ref, pref_ref,
+                     dbuf, sem, wsem, *, grid_x):
+    """Recompute the forward walk per tile; emit per-instance gradients.
+
+    dgrad rows: 0 dxy_x, 1 dxy_y, 2 dconic_a, 3 dconic_b, 4 dconic_c,
+                5 dopac, 6..13 dfeat (r g b depth fx fy fz one), 14-15 zero.
+
+    For an applied instance i (alpha>0 and cum_i >= eps — which, because cum
+    is monotone, is exactly "at or before the per-pixel latch"):
+      dL/dalpha_i = cum_excl_i * (c_i . gc)
+                    - (S_i + t_final * g_end) / (1 - alpha_i)
+    with S_i = sum_{j>i} w_j (c_j . gc) = (A_c . gc) - prefix_i and
+    g_end = bg . gc + (direct t_final cotangent); this is the closed form of
+    the reference's back-to-front recurrence (backward.cu:552-660)."""
+    t = pl.program_id(0)
+    start = starts[t]
+    stop = stops[t]
+    base = (start // G_CHUNK) * G_CHUNK  # 128-aligned DMA origin
+    nchunks = pl.cdiv(stop - base, G_CHUNK)
+    px, py = _pixel_coords(t, grid_x)
+
+    cum_ref[:] = jnp.ones((N_PIX, 1), jnp.float32)
+    pref_ref[:] = jnp.zeros((N_PIX, 1), jnp.float32)
+    gacc = gacc_in[0]  # [N_PIX, N_ACC]
+    gc_r = gacc[:, 0:1]
+    gc_g = gacc[:, 1:2]
+    gc_b = gacc[:, 2:3]
+    acdot = acdot_in[0]  # [N_PIX, 1]
+    tf_term = gend_in[0] * tfin_in[0]  # [N_PIX, 1]
+    moms = jnp.concatenate(
+        [jnp.ones_like(px), px, py, px * px, px * py, py * py], axis=1
+    )  # [N_PIX, 6]
+
+    def body(j, _):
+        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+        dma = pltpu.make_async_copy(data_hbm.at[:, pl.ds(off, G_CHUNK)], buf, sem)
+        dma.start()
+        # Read-modify-write: a 128-aligned window can straddle adjacent tiles'
+        # ranges, so accumulate into the (zero-initialized, aliased) output
+        # instead of overwriting. The sequential grid makes this race-free.
+        rdma = pltpu.make_async_copy(
+            dgrad_out.at[:, pl.ds(off, G_CHUNK)], dbuf, wsem
+        )
+        rdma.start()
+        dma.wait()
+        rdma.wait()
+        chunk = buf[:]
+        alpha, alpha_raw, expt, _ = _chunk_alpha(chunk, px, py, start - off,
+                                                 stop - off)
+
+        one_m = 1.0 - alpha
+        cum_in = cum_ref[:]
+        cum = cum_in * _lane_cumprod(one_m)
+        cum_excl = _shift_right_one(cum, cum_in)
+        applied = (alpha > 0.0) & (cum >= comp.T_EPS)
+        w = jnp.where(applied, alpha * cum_excl, 0.0)
+
+        cdot = chunk[6:7, :] * gc_r + chunk[7:8, :] * gc_g + chunk[8:9, :] * gc_b
+        wc = w * cdot
+        incl = _lane_cumsum(wc) + pref_ref[:]
+        s_i = acdot - incl
+
+        dl_dalpha = jnp.where(
+            applied,
+            cum_excl * cdot - (s_i + tf_term) / jnp.maximum(one_m, 0.01),
+            0.0,
+        )
+
+        # features: [G, N_ACC] = W^T @ g_accum
+        dfeat = jax.lax.dot_general(
+            w, gacc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        dl_dpower = alpha_raw * dl_dalpha  # [N_PIX, G]
+        dl_dopac = jnp.sum(expt * dl_dalpha, axis=0)[None, :]  # [1, G]
+
+        # pixel-moment reduction: [G, 6]
+        pm = jax.lax.dot_general(
+            dl_dpower, moms, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s0 = pm[:, 0:1].T  # [1, G]
+        sx = pm[:, 1:2].T
+        sy = pm[:, 2:3].T
+        sxx = pm[:, 3:4].T
+        sxy = pm[:, 4:5].T
+        syy = pm[:, 5:6].T
+        xg = chunk[0:1, :]
+        yg = chunk[1:2, :]
+        ca = chunk[2:3, :]
+        cb = chunk[3:4, :]
+        cc = chunk[4:5, :]
+        # dpower/dxg = -(ca*dx + cb*dy), dx = xg - px:
+        dbuf[0:1, :] += -(ca * (xg * s0 - sx) + cb * (yg * s0 - sy))
+        dbuf[1:2, :] += -(cc * (yg * s0 - sy) + cb * (xg * s0 - sx))
+        # dpower/dca = -0.5 dx^2 -> sum dx^2 dlp = xg^2 s0 - 2 xg sx + sxx
+        dbuf[2:3, :] += -0.5 * (xg * xg * s0 - 2.0 * xg * sx + sxx)
+        dbuf[3:4, :] += -(xg * yg * s0 - yg * sx - xg * sy + sxy)
+        dbuf[4:5, :] += -0.5 * (yg * yg * s0 - 2.0 * yg * sy + syy)
+        dbuf[5:6, :] += dl_dopac
+        dbuf[6:6 + N_ACC, :] += dfeat.T
+
+        wdma = pltpu.make_async_copy(dbuf, dgrad_out.at[:, pl.ds(off, G_CHUNK)], wsem)
+        wdma.start()
+        wdma.wait()
+
+        pref_ref[:] = incl[:, -1:]
+        cum_ref[:] = cum[:, -1:]
+        return 0
+
+    # No early exit: post-latch chunks produce exactly-zero gradients AND
+    # initialize their slice of the output (never-written memory is garbage).
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+def _backward_pallas(data, starts, stops, gacc, acdot, gend, tfin, *,
+                     num_tiles, grid_x, interpret=False):
+    capacity = data.shape[1]
+    kernel = functools.partial(_backward_kernel, grid_x=grid_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # data
+            pl.BlockSpec((1, N_PIX, N_ACC), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_PIX, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_PIX, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_PIX, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # dgrad zero-init (aliased)
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((DATA_ROWS, G_CHUNK), jnp.float32),  # buf
+            pltpu.VMEM((N_PIX, 1), jnp.float32),  # cum
+            pltpu.VMEM((N_PIX, 1), jnp.float32),  # prefix
+            pltpu.VMEM((DATA_ROWS, G_CHUNK), jnp.float32),  # dbuf
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    zeros = jnp.zeros((DATA_ROWS, capacity), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((DATA_ROWS, capacity), jnp.float32)],
+        # alias indices count ALL operands incl. scalar prefetch:
+        # starts=0, stops=1, data=2, cotangents 3..6, zeros=7 -> output 0
+        input_output_aliases={7: 0},
+        interpret=interpret,
+    )(starts, stops, data, gacc, acdot, gend, tfin, zeros)[0]
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper + public API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def composite_tiles(data, bg, gid, starts, stops, num_tiles, grid_x, interpret):
+    accum, tfinal, bestidx = _forward_pallas(
+        data, gid, starts, stops, num_tiles=num_tiles, grid_x=grid_x,
+        interpret=interpret,
+    )
+    color = accum[..., 0:3] + tfinal * bg  # tfinal [T, P, 1] broadcasts
+    return color, accum, tfinal, bestidx
+
+
+def _composite_fwd(data, bg, gid, starts, stops, num_tiles, grid_x, interpret):
+    out = composite_tiles(data, bg, gid, starts, stops, num_tiles, grid_x,
+                          interpret)
+    _color, accum, tfinal, _bestidx = out
+    return out, (data, bg, accum, tfinal, starts, stops)
+
+
+def _composite_bwd(num_tiles, grid_x, interpret, res, cts):
+    data, bg, accum, tfinal, starts, stops = res
+    g_color, g_accum, g_tfinal, _ = cts
+    # color = accum[...,:3] + tfinal*bg folds into the accum/tfinal cotangents
+    gacc = g_accum.at[..., 0:3].add(g_color)
+    gend = jnp.einsum("tpc,c->tp", g_color, bg)[..., None] + g_tfinal  # [T,P,1]
+    gc = gacc[..., 0:3]
+    acdot = jnp.einsum("tpc,tpc->tp", accum[..., 0:3], gc)[..., None]  # [T,P,1]
+    dgrad = _backward_pallas(
+        data, starts, stops, gacc, acdot, gend, tfinal,
+        num_tiles=num_tiles, grid_x=grid_x, interpret=interpret,
+    )
+    # The kernel writes [start, stop)-ranges; the sentinel-padding tail beyond
+    # the true instance count is never touched (uninitialized memory) and its
+    # rows alias real Gaussians through the clipped sort order — zero it.
+    total = stops[num_tiles - 1]
+    lane = jnp.arange(data.shape[1], dtype=jnp.int32)[None, :]
+    dgrad = jnp.where(lane < total, dgrad, 0.0)
+    g_bg = jnp.einsum("tpc,tpo->c", g_color, tfinal)
+    return dgrad, g_bg, None, None, None
+
+
+composite_tiles.defvjp(_composite_fwd, _composite_bwd)
+
+
+def rasterize_tiled_pallas(
+    proj: Projected,
+    colors: jnp.ndarray,
+    flow: jnp.ndarray,
+    binning: Binning,
+    *,
+    width: int,
+    height: int,
+    bg: jnp.ndarray,
+    max_depth: float,
+    tile: int = TILE,
+    interpret: bool = False,
+    **_unused,
+) -> comp.RenderOutputs:
+    """Drop-in replacement for ops.rasterize_tiled.rasterize_tiled on TPU."""
+    assert tile == TILE
+    grid_x = (width + tile - 1) // tile
+    grid_y = (height + tile - 1) // tile
+    num_tiles = grid_x * grid_y
+    capacity = binning.order.shape[0]
+    assert capacity % G_CHUNK == 0, "binning capacity must be a multiple of 128"
+
+    data, gid = pack_sorted(proj, colors, flow, binning)
+    gid2 = gid[None, :]
+    color, accum, tfinal, bestidx = composite_tiles(
+        data, bg, gid2, binning.tile_start, binning.tile_stop, num_tiles,
+        grid_x, interpret,
+    )
+
+    acc = jax.lax.stop_gradient(accum[..., 7])
+    has = acc > 0.0
+    denom = jnp.where(has, acc, 1.0)
+    depth = jnp.where(has, accum[..., 3] / denom, max_depth)
+    flow_img = jnp.where(has[..., None], accum[..., 4:7] / denom[..., None], 0.0)
+
+    def timg(arr):  # [T, 256, ...] -> [H, W, ...]
+        ch = arr.shape[2:]
+        img = arr.reshape(grid_y, grid_x, tile, tile, *ch)
+        img = jnp.moveaxis(img, 2, 1).reshape(grid_y * tile, grid_x * tile, *ch)
+        return img[:height, :width]
+
+    return comp.RenderOutputs(
+        color=timg(color),
+        depth=timg(depth),
+        flow=timg(flow_img),
+        acc=timg(acc),
+        final_t=timg(tfinal[..., 0]),
+        idx=timg(bestidx[..., 0]),
+    )

@@ -102,7 +102,14 @@ def rasterize_tiled(
         return carry, None
 
     carry0 = comp.init_carry((num_tiles, tile * tile), 8)
-    carry, _ = jax.lax.scan(step_fn, carry0, jnp.arange(steps, dtype=jnp.int32))
+    # Remat each chunk: the autodiffed scan would otherwise save
+    # [steps, tiles, px, chunk]-sized residuals (tens of GB at N3V size);
+    # recomputing the blend in the backward sweep costs ~2x FLOPs for ~0 extra
+    # memory — the same trade the reference backward makes by re-walking the
+    # per-tile lists (backward.cu:426-682).
+    carry, _ = jax.lax.scan(
+        jax.checkpoint(step_fn), carry0, jnp.arange(steps, dtype=jnp.int32)
+    )
     out = comp.finalize(carry, bg, max_depth)
 
     def to_image(arr):

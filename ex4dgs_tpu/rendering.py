@@ -102,6 +102,7 @@ def render_points(
     flow_dirs: jnp.ndarray | None = None,
     override_color: jnp.ndarray | None = None,
     subpixel_offset: jnp.ndarray | None = None,
+    backend: str | None = None,
 ) -> RenderResult:
     """Rasterize pre-assembled per-frame point data."""
     near = cfg.near if near is None else near
@@ -119,7 +120,7 @@ def render_points(
     return composite_projected(
         proj, colors, flow_dirs, cam, bg=bg, far=far, capacity=capacity,
         chunk=chunk, max_per_tile=max_per_tile, subpixel_offset=subpixel_offset,
-        static_num=pts.static_num,
+        static_num=pts.static_num, backend=backend,
     )
 
 
@@ -180,23 +181,39 @@ def composite_projected(
     max_per_tile: int | None = None,
     subpixel_offset: jnp.ndarray | None = None,
     static_num: int = 0,
+    backend: str | None = None,
 ) -> RenderResult:
-    """Binning + tile compositing of already-projected Gaussians."""
+    """Binning + tile compositing of already-projected Gaussians.
+
+    backend: "pallas" (TPU kernels), "jnp" (portable oracle), or None = auto
+    (pallas on TPU when no subpixel offset is requested)."""
     grid_x, grid_y = tile_grid(cam.width, cam.height)
     binning = binning_ops.bin_gaussians(proj, grid_x, grid_y, capacity)
-    out = rasterize_tiled.rasterize_tiled(
-        proj,
-        colors,
-        flow_dirs,
-        binning,
-        width=cam.width,
-        height=cam.height,
-        bg=bg,
-        max_depth=far,
-        chunk=chunk,
-        max_per_tile=max_per_tile,
-        subpixel_offset=subpixel_offset,
-    )
+    if backend is None:
+        on_tpu = jax.devices()[0].platform == "tpu"
+        backend = "pallas" if (on_tpu and subpixel_offset is None
+                               and capacity % 128 == 0) else "jnp"
+    if backend == "pallas":
+        from .ops.rasterize_pallas import rasterize_tiled_pallas
+
+        out = rasterize_tiled_pallas(
+            proj, colors, flow_dirs, binning,
+            width=cam.width, height=cam.height, bg=bg, max_depth=far,
+        )
+    else:
+        out = rasterize_tiled.rasterize_tiled(
+            proj,
+            colors,
+            flow_dirs,
+            binning,
+            width=cam.width,
+            height=cam.height,
+            bg=bg,
+            max_depth=far,
+            chunk=chunk,
+            max_per_tile=max_per_tile,
+            subpixel_offset=subpixel_offset,
+        )
     return RenderResult(
         render=out.color,
         depth=out.depth,

@@ -1,0 +1,129 @@
+"""Pallas compositing kernels vs. the portable jnp oracle (interpret mode).
+
+Forward outputs must match rasterize_tiled allclose; the custom-VJP backward
+must match jax.grad through the jnp path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ex4dgs_tpu.ops import math3d as m3
+from ex4dgs_tpu.ops import rasterize_pallas as rp
+from ex4dgs_tpu.ops import rasterize_tiled as rt
+from ex4dgs_tpu.ops.binning import bin_gaussians
+from ex4dgs_tpu.ops.projection import compute_cov3d, project_gaussians, tile_grid
+from scenes import make_camera, random_gaussians
+
+W, H = 96, 64
+CAP = 8192
+
+
+def _setup(n=300, seed=0):
+    cam, meta = make_camera(W, H)
+    sc = random_gaussians(n, seed=seed)
+    cov3d = compute_cov3d(jnp.exp(sc["log_scales"]), sc["quats"])
+    opac = jax.nn.sigmoid(sc["opacity_logit"][:, 0])
+    proj = project_gaussians(
+        sc["means"], cov3d, opac, cam,
+        width=W, height=H, tan_fovx=meta["tan_fovx"], tan_fovy=meta["tan_fovy"],
+        kernel_size=0.1, min_depth=0.2, max_depth=100.0,
+    )
+    sh = jnp.concatenate([sc["sh_dc"], sc["sh_rest"]], axis=1)
+    colors = m3.sh_to_rgb(3, sh, sc["means"], cam.campos)
+    rng = np.random.default_rng(seed + 7)
+    flow = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.1)
+    g = dict(colors=colors, flow=flow)
+    gx, gy = tile_grid(W, H)
+    binning = bin_gaussians(proj, gx, gy, CAP)
+    return proj, g, binning
+
+
+def test_pallas_forward_matches_jnp():
+    proj, g, binning = _setup()
+    bg = jnp.asarray([0.2, 0.3, 0.4])
+    ref = rt.rasterize_tiled(
+        proj, g["colors"], g["flow"], binning, width=W, height=H, bg=bg,
+        max_depth=100.0, chunk=64, max_per_tile=1024,
+    )
+    out = rp.rasterize_tiled_pallas(
+        proj, g["colors"], g["flow"], binning, width=W, height=H, bg=bg,
+        max_depth=100.0, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.final_t), np.asarray(ref.final_t),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.flow), np.asarray(ref.flow),
+                               atol=1e-4)
+    # dominant ids agree (ties broken differently in <0.1% of pixels)
+    agree = (np.asarray(out.idx) == np.asarray(ref.idx)).mean()
+    assert agree > 0.995, agree
+
+
+def test_pallas_backward_matches_jnp():
+    proj, g, binning = _setup(n=200, seed=1)
+    bg = jnp.asarray([0.1, 0.1, 0.1])
+    tgt = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(H, W, 3)).astype(np.float32)
+    )
+
+    def loss_jnp(colors, flow, opac):
+        p = proj._replace(opacity=opac)
+        out = rt.rasterize_tiled(p, colors, flow, binning, width=W, height=H,
+                                 bg=bg, max_depth=100.0, chunk=64,
+                                 max_per_tile=1024)
+        err = jnp.abs(out.color - tgt).mean()
+        # exercise the aux-channel cotangants too (flow hook analog)
+        hook = jax.lax.stop_gradient(jnp.stack([out.acc] * 3, -1))
+        return err + (out.flow * hook).sum() * 1e-3 + out.depth.mean() * 1e-3
+
+    def loss_pallas(colors, flow, opac):
+        p = proj._replace(opacity=opac)
+        out = rp.rasterize_tiled_pallas(p, colors, flow, binning, width=W,
+                                        height=H, bg=bg, max_depth=100.0,
+                                        interpret=True)
+        err = jnp.abs(out.color - tgt).mean()
+        hook = jax.lax.stop_gradient(jnp.stack([out.acc] * 3, -1))
+        return err + (out.flow * hook).sum() * 1e-3 + out.depth.mean() * 1e-3
+
+    args = (g["colors"], g["flow"], proj.opacity)
+    l_ref = float(loss_jnp(*args))
+    l_pal = float(loss_pallas(*args))
+    np.testing.assert_allclose(l_pal, l_ref, rtol=1e-5, atol=1e-6)
+
+    g_ref = jax.grad(loss_jnp, argnums=(0, 1, 2))(*args)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(*args)
+    for a, b, name in zip(g_pal, g_ref, ("colors", "flow", "opacity")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   err_msg=name)
+
+
+def test_pallas_backward_geometry_grads():
+    """xy/conic grads (through projection inputs) vs the jnp path."""
+    proj, g, binning = _setup(n=150, seed=2)
+    bg = jnp.zeros(3)
+    tgt = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(H, W, 3)).astype(np.float32)
+    )
+
+    def loss_with(path):
+        def f(xy, conic):
+            p = proj._replace(xy=xy, conic=conic)
+            out = path(p, g["colors"], g["flow"], binning, width=W, height=H,
+                       bg=bg, max_depth=100.0)
+            return jnp.abs(out.color - tgt).mean()
+        return f
+
+    f_ref = loss_with(lambda *a, **k: rt.rasterize_tiled(*a, chunk=64,
+                                                         max_per_tile=1024, **k))
+    f_pal = loss_with(lambda *a, **k: rp.rasterize_tiled_pallas(*a, interpret=True,
+                                                                **k))
+    g_ref = jax.grad(f_ref, argnums=(0, 1))(proj.xy, proj.conic)
+    g_pal = jax.grad(f_pal, argnums=(0, 1))(proj.xy, proj.conic)
+    for a, b, name in zip(g_pal, g_ref, ("xy", "conic")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
+                                   err_msg=name)
