@@ -1,0 +1,113 @@
+"""Offline render + metric harness — the reference's render.py:35-161.
+
+Renders train/test camera sets from a trained model, computes
+PSNR/SSIM/LPIPS per frame, measures render FPS with the reference's timing
+recipe (20 x 500 re-renders of one camera, 100-iteration warmup,
+render.py:91-96), and writes mean_metrics.json / all_metrics.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.scene import Scene, load_image
+from ..models.config import ModelConfig
+from ..models.state import GaussianModel
+from ..rendering import default_capacity, render
+from . import metrics as M
+
+
+def render_set(
+    model: GaussianModel,
+    cfg: ModelConfig,
+    scene: Scene,
+    split: str,
+    out_dir: str | None = None,
+    *,
+    capacity: int | None = None,
+    max_per_tile: int | None = None,
+    save_images: bool = False,
+    measure_fps: bool = True,
+    lpips_nets: tuple = ("alex", "vgg"),
+) -> dict:
+    cams = (scene.sampled_test_cameras() if split == "test"
+            else scene.sampled_train_cameras())
+    if not cams:
+        return {"split": split, "n_frames": 0}
+    if capacity is None:
+        capacity = default_capacity(
+            model.static_capacity + model.dynamic_capacity,
+            cams[0].width, cams[0].height,
+        )
+    bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.white_background else [0.0, 0.0, 0.0])
+
+    @jax.jit
+    def render_one(model, cam, t):
+        return render(cam, model, cfg, t=t, bg=bg, capacity=capacity,
+                      max_per_tile=max_per_tile).render
+
+    lpips = {n: M.LPIPS(n) for n in lpips_nets}
+    rows = []
+    if out_dir and save_images:
+        os.makedirs(os.path.join(out_dir, "renders"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "gt"), exist_ok=True)
+
+    for i, cam in enumerate(cams):
+        img = render_one(model, cam.render_camera(),
+                         jnp.asarray(cam.timestamp, jnp.float32))
+        img = np.clip(np.asarray(img), 0.0, 1.0)
+        gt = load_image(cam.image_path, (cam.width, cam.height), cam.im_scale)
+        row = {
+            "frame": cam.image_name,
+            "timestamp": cam.timestamp,
+            "psnr": M.psnr(img, gt),
+            "ssim": M.ssim(img, gt),
+            "ssim_sk": M.ssim_skimage_style(img, gt),
+        }
+        for n, fn in lpips.items():
+            row[f"lpips_{n}"] = fn(img, gt)
+        rows.append(row)
+        if out_dir and save_images:
+            from PIL import Image
+
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, "renders", f"{i:05d}.png"))
+            Image.fromarray((gt * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, "gt", f"{i:05d}.png"))
+
+    result = {"split": split, "n_frames": len(rows)}
+    for key in ("psnr", "ssim", "ssim_sk", "lpips_alex", "lpips_vgg"):
+        vals = [r[key] for r in rows if r.get(key) is not None]
+        if vals:
+            result[key] = float(np.mean(vals))
+
+    if measure_fps:
+        cam = cams[0].render_camera()
+        t = jnp.asarray(cams[0].timestamp, jnp.float32)
+        for _ in range(100):  # warmup (render.py:92)
+            out = render_one(model, cam, t)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            for _ in range(25):
+                out = render_one(model, cam, t)
+            jax.block_until_ready(out)
+            times.append((time.perf_counter() - t0) / 25)
+        result["render_time_s"] = float(np.mean(times))
+        result["fps"] = float(1.0 / np.mean(times))
+        result["mpixels_per_s"] = float(cams[0].width * cams[0].height
+                                        / np.mean(times) / 1e6)
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "all_metrics.json"), "w") as f:
+            json.dump(rows, f, indent=1)
+        with open(os.path.join(out_dir, "mean_metrics.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    return result

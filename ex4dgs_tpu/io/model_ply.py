@@ -52,16 +52,16 @@ def save_model_ply(hm: HostModel, path: str) -> None:
     nd = hm.n_dynamic
     kf = p["motion_xyz"].shape[1]
     dcols: dict[str, np.ndarray] = {}
-    mx = p["motion_xyz"].reshape(nd, -1)
+    mx = p["motion_xyz"].reshape(nd, kf * 3)
     idx = 0
     for k in range(kf):
         for d in range(3):
             dcols[f"motion_xyz_{k}_{d}"] = mx[:, idx]
             idx += 1
-    mdc = p["motion_f_dc"].transpose(0, 2, 1).reshape(nd, -1)
+    mdc = p["motion_f_dc"].transpose(0, 2, 1).reshape(nd, 3)
     for i in range(mdc.shape[1]):
         dcols[f"motion_f_dc_{i}"] = mdc[:, i]
-    mre = p["motion_f_rest"].transpose(0, 2, 1).reshape(nd, -1)
+    mre = p["motion_f_rest"].transpose(0, 2, 1).reshape(nd, p["motion_f_rest"].shape[1] * 3)
     for i in range(mre.shape[1]):
         dcols[f"motion_f_rest_{i}"] = mre[:, i]
     for i in range(3):
@@ -71,7 +71,7 @@ def save_model_ply(hm: HostModel, path: str) -> None:
         dcols[f"motion_opacity_c_{i}"] = p["motion_opacity_center"][:, i]
     for i in range(2):
         dcols[f"motion_opacity_v_{i}"] = p["motion_opacity_var"][:, i]
-    mr = p["motion_rotation"].reshape(nd, -1)
+    mr = p["motion_rotation"].reshape(nd, kf * 4)
     idx = 0
     for k in range(kf):
         for d in range(4):

@@ -103,15 +103,26 @@ def project_gaussians(
     mid = 0.5 * (a + c)
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+    # Opacity-aware tile extent: the compositor drops contributions with
+    # alpha < 1/255 (forward.cu:380), so a splat's true support ends at
+    # sigma*sqrt(2 ln(255*alpha)) — tighter than 3 sigma for faint splats.
+    # The reported `radius` (and the visibility/big-point stats that consume
+    # it) keeps the reference's 3-sigma value; only the binning rect shrinks,
+    # which is lossless for the rendered image and its gradients.
+    alpha_eff = jnp.maximum(opacities * coef, 1e-12)
+    support = jnp.sqrt(2.0 * jnp.maximum(jnp.log(255.0 * alpha_eff), 1e-2))
+    rect_radius = jnp.ceil(
+        jnp.minimum(3.0, support) * jnp.sqrt(jnp.maximum(lam1, 0.0))
+    )
 
     xy = jnp.stack([ndc2pix(p_proj[:, 0], width), ndc2pix(p_proj[:, 1], height)], axis=-1)
 
     grid_x, grid_y = tile_grid(width, height, tile)
     # getRect (auxiliary.h:46-57): truncation-toward-zero int casts.
-    rmin_x = jnp.clip(((xy[:, 0] - radius_f) / tile).astype(jnp.int32), 0, grid_x)
-    rmin_y = jnp.clip(((xy[:, 1] - radius_f) / tile).astype(jnp.int32), 0, grid_y)
-    rmax_x = jnp.clip(((xy[:, 0] + radius_f + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
-    rmax_y = jnp.clip(((xy[:, 1] + radius_f + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
+    rmin_x = jnp.clip(((xy[:, 0] - rect_radius) / tile).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((xy[:, 1] - rect_radius) / tile).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(((xy[:, 0] + rect_radius + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
+    rmax_y = jnp.clip(((xy[:, 1] + rect_radius + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
     tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
     valid = in_frustum & det_ok & (tiles_touched > 0)

@@ -38,7 +38,7 @@ from . import compositing as comp
 from .binning import Binning
 from .projection import Projected, TILE
 
-G_CHUNK = 128
+G_CHUNK = 256  # instances per DMA window; larger = shorter serial chain
 N_PIX = TILE * TILE  # 256
 DATA_ROWS = 16  # packed per-instance rows (one sublane tile)
 # rows: 0 xy_x, 1 xy_y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
@@ -106,30 +106,72 @@ def _shift_right_one(x, fill):
 
 
 def _pixel_coords(tile_idx, grid_x):
-    """Per-tile pixel centers, [N_PIX, 1] each for x and y."""
+    """Tile origin (ox, oy) and LOCAL pixel offsets [N_PIX, 1].
+
+    All kernel math runs in tile-local coordinates (px < 16): the polynomial
+    power evaluation would otherwise cancel catastrophically in fp32 (global
+    px^2 reaches ~2e6 at N3V resolution while the exponent itself is O(1))."""
     ty = tile_idx // grid_x
     tx = tile_idx - ty * grid_x
     p = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, 1), 0)
-    px = (tx * TILE + p % TILE).astype(jnp.float32)
-    py = (ty * TILE + p // TILE).astype(jnp.float32)
-    return px, py
+    px = (p % TILE).astype(jnp.float32)
+    py = (p // TILE).astype(jnp.float32)
+    ox = (tx * TILE).astype(jnp.float32)
+    oy = (ty * TILE).astype(jnp.float32)
+    return px, py, ox, oy
 
 
-def _chunk_alpha(chunk, px, py, lo, hi):
+def _pixel_moments(px, py):
+    """[N_PIX, 8] pixel-moment matrix: 1, px, py, px^2, px*py, py^2, 0, 0.
+
+    The Gaussian exponent is quadratic in pixel coordinates, so evaluating it
+    for all (pixel, instance) pairs is a single [N_PIX, 8] x [8, G] matmul on
+    the MXU instead of ~10 VPU passes over [N_PIX, G]."""
+    one = jnp.ones_like(px)
+    zero = jnp.zeros_like(px)
+    return jnp.concatenate(
+        [one, px, py, px * px, px * py, py * py, zero, zero], axis=1
+    )
+
+
+def _cumsum_matrix():
+    """[G, G] inclusive lane-cumsum operator: out = x @ U, U[i,j] = (i <= j).
+
+    Turns the transmittance chain (a cumulative product) into one MXU matmul
+    in log space — the VPU log-step scan it replaces is ~21 elementwise
+    passes."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (G_CHUNK, G_CHUNK), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (G_CHUNK, G_CHUNK), 1)
+    return (i <= j).astype(jnp.float32)
+
+
+def _chunk_alpha(chunk, moms, lo, hi, ox, oy):
     """Alpha pieces for one [16, G] chunk against the tile's pixels.
 
     Lanes in [lo, hi) hold this tile's instances (DMA windows are 128-aligned,
     so a window may straddle the tile's range ends); others are masked out.
     Returns (alpha, alpha_raw, exp_term, mask), each [N_PIX, G]."""
-    xs = chunk[0:1, :]  # [1, G]
-    ys = chunk[1:2, :]
+    xs = chunk[0:1, :] - ox  # [1, G], tile-local
+    ys = chunk[1:2, :] - oy
     ca = chunk[2:3, :]
     cb = chunk[3:4, :]
     cc = chunk[4:5, :]
     op = chunk[5:6, :]
-    dx = xs - px  # [N_PIX, G]
-    dy = ys - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    zero = jnp.zeros_like(xs)
+    # power = -0.5 ca (xg-px)^2 - 0.5 cc (yg-py)^2 - cb (xg-px)(yg-py)
+    # as a polynomial in (px, py):
+    coef = jnp.concatenate([
+        -0.5 * (ca * xs * xs + cc * ys * ys) - cb * xs * ys,  # 1
+        ca * xs + cb * ys,  # px
+        cc * ys + cb * xs,  # py
+        -0.5 * ca,  # px^2
+        -cb,  # px*py
+        -0.5 * cc,  # py^2
+        zero, zero,
+    ], axis=0)  # [8, G]
+    power = jax.lax.dot_general(
+        moms, coef, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [N_PIX, G]
     expt = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = op * expt
     alpha_c = jnp.minimum(alpha_raw, comp.ALPHA_MAX)
@@ -137,6 +179,20 @@ def _chunk_alpha(chunk, px, py, lo, hi):
     m = (lane >= lo) & (lane < hi) & (power <= 0.0) & (alpha_c >= comp.ALPHA_MIN)
     alpha = jnp.where(m, alpha_c, 0.0)
     return alpha, jnp.where(m, alpha_raw, 0.0), jnp.where(m, expt, 0.0), m
+
+
+def _transmittance(alpha, cum_in, cumU):
+    """(cum inclusive, cum exclusive) for a chunk, via one log-space matmul.
+
+    cum_excl = cum / (1 - alpha); alpha <= 0.99 keeps the division safe, and
+    masked lanes (alpha == 0) divide by exactly 1."""
+    l1m = jnp.log1p(-alpha)
+    cl = jax.lax.dot_general(
+        l1m, cumU, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    cum = cum_in * jnp.exp(cl)
+    cum_excl = cum / (1.0 - alpha)
+    return cum, cum_excl
 
 
 # ---------------------------------------------------------------------------
@@ -151,7 +207,9 @@ def _forward_kernel(starts, stops, data_hbm, gid_hbm, accum_out, tfinal_out,
     stop = stops[t]
     base = (start // G_CHUNK) * G_CHUNK  # 128-aligned DMA origin
     nchunks = pl.cdiv(stop - base, G_CHUNK)
-    px, py = _pixel_coords(t, grid_x)
+    px, py, ox, oy = _pixel_coords(t, grid_x)
+    moms = _pixel_moments(px, py)
+    cumU = _cumsum_matrix()
 
     acc_ref[:] = jnp.zeros((N_PIX, N_ACC), jnp.float32)
     cum_ref[:] = jnp.ones((N_PIX, 1), jnp.float32)
@@ -159,22 +217,44 @@ def _forward_kernel(starts, stops, data_hbm, gid_hbm, accum_out, tfinal_out,
     best_ref[:] = jnp.zeros((N_PIX, 1), jnp.float32)
     bid_ref[:] = jnp.full((N_PIX, 1), -1, jnp.int32)
 
+    def start_dma(j, slot):
+        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+        pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot], sem.at[slot]
+        ).start()
+        pltpu.make_async_copy(
+            gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[slot], gsem.at[slot]
+        ).start()
+
+    def wait_dma(j, slot):
+        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+        pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot], sem.at[slot]
+        ).wait()
+        pltpu.make_async_copy(
+            gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[slot], gsem.at[slot]
+        ).wait()
+
+    @pl.when(nchunks > 0)
+    def _():
+        start_dma(0, 0)
+
     def body(carry):
         j, _ = carry
-        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
-        dma = pltpu.make_async_copy(data_hbm.at[:, pl.ds(off, G_CHUNK)], buf, sem)
-        dma.start()
-        gdma = pltpu.make_async_copy(gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf, gsem)
-        gdma.start()
-        dma.wait()
-        gdma.wait()
-        chunk = buf[:]
-        alpha, _, _, _ = _chunk_alpha(chunk, px, py, start - off, stop - off)
+        slot = jax.lax.rem(j, 2)
+        # double-buffer: fetch chunk j+1 while blending chunk j
+        @pl.when(j + 1 < nchunks)
+        def _():
+            start_dma(j + 1, 1 - slot)
 
-        one_m = 1.0 - alpha
+        wait_dma(j, slot)
+        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+        chunk = buf[slot]
+        alpha, _, _, _ = _chunk_alpha(chunk, moms, start - off, stop - off,
+                                      ox, oy)
+
         cum_in = cum_ref[:]  # [N_PIX, 1]
-        cum = cum_in * _lane_cumprod(one_m)  # inclusive [N_PIX, G]
-        cum_excl = _shift_right_one(cum, cum_in)
+        cum, cum_excl = _transmittance(alpha, cum_in, cumU)
         applied = (alpha > 0.0) & (cum >= comp.T_EPS)
         w = jnp.where(applied, alpha * cum_excl, 0.0)
 
@@ -189,7 +269,7 @@ def _forward_kernel(starts, stops, data_hbm, gid_hbm, accum_out, tfinal_out,
         tfin_ref[:] = jnp.minimum(tfin_ref[:], chunk_min)
 
         cmax = jnp.max(w, axis=1, keepdims=True)
-        ids = jnp.broadcast_to(gbuf[0:1, :], (N_PIX, G_CHUNK))
+        ids = jnp.broadcast_to(gbuf[slot, 0:1, :], (N_PIX, G_CHUNK))
         # id of the max-weight lane (min id among exact ties — deterministic)
         cid = jnp.min(
             jnp.where((w == cmax) & (cmax > 0), ids, jnp.int32(2**30)),
@@ -207,7 +287,12 @@ def _forward_kernel(starts, stops, data_hbm, gid_hbm, accum_out, tfinal_out,
         j, tmax = carry
         return (j < nchunks) & (tmax >= comp.T_EPS)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+    j_exit, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+
+    # early exit leaves the prefetch for chunk j_exit in flight — drain it
+    @pl.when(j_exit < nchunks)
+    def _():
+        wait_dma(j_exit, jax.lax.rem(j_exit, 2))
 
     accum_out[:] = acc_ref[:][None]
     tfinal_out[:] = jnp.where(
@@ -234,15 +319,15 @@ def _forward_pallas(data, gid, starts, stops, *, num_tiles, grid_x, interpret=Fa
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((DATA_ROWS, G_CHUNK), jnp.float32),  # buf
-            pltpu.VMEM((1, G_CHUNK), jnp.int32),  # gbuf
+            pltpu.VMEM((2, DATA_ROWS, G_CHUNK), jnp.float32),  # buf x2
+            pltpu.VMEM((2, 1, G_CHUNK), jnp.int32),  # gbuf x2
             pltpu.VMEM((N_PIX, 1), jnp.float32),  # cum
             pltpu.VMEM((N_PIX, 1), jnp.float32),  # tfin
             pltpu.VMEM((N_PIX, 1), jnp.float32),  # best w
             pltpu.VMEM((N_PIX, 1), jnp.int32),  # best id
             pltpu.VMEM((N_PIX, N_ACC), jnp.float32),  # accum
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -281,7 +366,7 @@ def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
     stop = stops[t]
     base = (start // G_CHUNK) * G_CHUNK  # 128-aligned DMA origin
     nchunks = pl.cdiv(stop - base, G_CHUNK)
-    px, py = _pixel_coords(t, grid_x)
+    px, py, ox, oy = _pixel_coords(t, grid_x)
 
     cum_ref[:] = jnp.ones((N_PIX, 1), jnp.float32)
     pref_ref[:] = jnp.zeros((N_PIX, 1), jnp.float32)
@@ -291,37 +376,62 @@ def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
     gc_b = gacc[:, 2:3]
     acdot = acdot_in[0]  # [N_PIX, 1]
     tf_term = gend_in[0] * tfin_in[0]  # [N_PIX, 1]
-    moms = jnp.concatenate(
-        [jnp.ones_like(px), px, py, px * px, px * py, py * py], axis=1
-    )  # [N_PIX, 6]
+    moms = _pixel_moments(px, py)  # [N_PIX, 8]
+    cumU = _cumsum_matrix()
 
-    def body(j, _):
+    def start_read(j, slot):
         off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
-        dma = pltpu.make_async_copy(data_hbm.at[:, pl.ds(off, G_CHUNK)], buf, sem)
-        dma.start()
-        # Read-modify-write: a 128-aligned window can straddle adjacent tiles'
-        # ranges, so accumulate into the (zero-initialized, aliased) output
-        # instead of overwriting. The sequential grid makes this race-free.
+        pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot], sem.at[slot]
+        ).start()
+
+    def wait_read(j, slot):
+        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+        pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot], sem.at[slot]
+        ).wait()
+
+    @pl.when(nchunks > 0)
+    def _():
+        start_read(0, 0)
+        # window 0 may straddle the previous tile's range (128-aligned
+        # windows): read-modify-write it. Windows >= 1 are exclusively ours
+        # (and overwrite any zero-fill the previous tile spilled into them),
+        # so they are plain writes. Sequential grid => race-free.
         rdma = pltpu.make_async_copy(
-            dgrad_out.at[:, pl.ds(off, G_CHUNK)], dbuf, wsem
+            dgrad_out.at[:, pl.ds(pl.multiple_of(base, G_CHUNK), G_CHUNK)],
+            dbuf, wsem,
         )
         rdma.start()
-        dma.wait()
         rdma.wait()
-        chunk = buf[:]
-        alpha, alpha_raw, expt, _ = _chunk_alpha(chunk, px, py, start - off,
-                                                 stop - off)
+
+    def body(carry):
+        j, _ = carry
+        slot = jax.lax.rem(j, 2)
+        @pl.when(j + 1 < nchunks)
+        def _():
+            start_read(j + 1, 1 - slot)
+        wait_read(j, slot)
+        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+        @pl.when(j > 0)
+        def _():
+            dbuf[...] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
+        chunk = buf[slot]
+        alpha, alpha_raw, expt, _ = _chunk_alpha(chunk, moms, start - off,
+                                                 stop - off, ox, oy)
 
         one_m = 1.0 - alpha
         cum_in = cum_ref[:]
-        cum = cum_in * _lane_cumprod(one_m)
-        cum_excl = _shift_right_one(cum, cum_in)
+        cum, cum_excl = _transmittance(alpha, cum_in, cumU)
         applied = (alpha > 0.0) & (cum >= comp.T_EPS)
         w = jnp.where(applied, alpha * cum_excl, 0.0)
 
         cdot = chunk[6:7, :] * gc_r + chunk[7:8, :] * gc_g + chunk[8:9, :] * gc_b
         wc = w * cdot
-        incl = _lane_cumsum(wc) + pref_ref[:]
+        incl = jax.lax.dot_general(
+            wc, cumU, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + pref_ref[:]
         s_i = acdot - incl
 
         dl_dalpha = jnp.where(
@@ -338,7 +448,7 @@ def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
         dl_dpower = alpha_raw * dl_dalpha  # [N_PIX, G]
         dl_dopac = jnp.sum(expt * dl_dalpha, axis=0)[None, :]  # [1, G]
 
-        # pixel-moment reduction: [G, 6]
+        # pixel-moment reduction: [G, 8] (last 2 cols are zero padding)
         pm = jax.lax.dot_general(
             dl_dpower, moms, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -349,8 +459,8 @@ def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
         sxx = pm[:, 3:4].T
         sxy = pm[:, 4:5].T
         syy = pm[:, 5:6].T
-        xg = chunk[0:1, :]
-        yg = chunk[1:2, :]
+        xg = chunk[0:1, :] - ox  # tile-local, consistent with moms
+        yg = chunk[1:2, :] - oy
         ca = chunk[2:3, :]
         cb = chunk[3:4, :]
         cc = chunk[4:5, :]
@@ -369,12 +479,40 @@ def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
         wdma.wait()
 
         pref_ref[:] = incl[:, -1:]
-        cum_ref[:] = cum[:, -1:]
-        return 0
+        new_cum = cum[:, -1:]
+        cum_ref[:] = new_cum
+        return j + 1, jnp.max(new_cum)
 
-    # No early exit: post-latch chunks produce exactly-zero gradients AND
-    # initialize their slice of the output (never-written memory is garbage).
-    jax.lax.fori_loop(0, nchunks, body, 0)
+    def cond(carry):
+        j, tmax = carry
+        return (j < nchunks) & (tmax >= comp.T_EPS)
+
+    j_exit, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+
+    # drain the in-flight prefetch if the latch fired early
+    @pl.when(j_exit < nchunks)
+    def _():
+        wait_read(j_exit, jax.lax.rem(j_exit, 2))
+
+    # zero-fill the never-computed windows: post-latch instances have exactly
+    # zero gradients, but their output slice must still be initialized (the
+    # aliased zeros input only covers windows no tile ever touches... and the
+    # next tile's first-window RMW must read zeros here, not garbage from a
+    # skipped write).
+    @pl.when(j_exit < nchunks)
+    def _():
+        dbuf[...] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
+
+        def zbody(j, _):
+            off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+            zdma = pltpu.make_async_copy(
+                dbuf, dgrad_out.at[:, pl.ds(off, G_CHUNK)], wsem
+            )
+            zdma.start()
+            zdma.wait()
+            return 0
+
+        jax.lax.fori_loop(j_exit, nchunks, zbody, 0)
 
 
 def _backward_pallas(data, starts, stops, gacc, acdot, gend, tfin, *,
@@ -398,11 +536,11 @@ def _backward_pallas(data, starts, stops, gacc, acdot, gend, tfin, *,
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((DATA_ROWS, G_CHUNK), jnp.float32),  # buf
+            pltpu.VMEM((2, DATA_ROWS, G_CHUNK), jnp.float32),  # buf x2
             pltpu.VMEM((N_PIX, 1), jnp.float32),  # cum
             pltpu.VMEM((N_PIX, 1), jnp.float32),  # prefix
             pltpu.VMEM((DATA_ROWS, G_CHUNK), jnp.float32),  # dbuf
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -484,7 +622,7 @@ def rasterize_tiled_pallas(
     grid_y = (height + tile - 1) // tile
     num_tiles = grid_x * grid_y
     capacity = binning.order.shape[0]
-    assert capacity % G_CHUNK == 0, "binning capacity must be a multiple of 128"
+    assert capacity % G_CHUNK == 0, f"binning capacity must be a multiple of {G_CHUNK}"
 
     data, gid = pack_sorted(proj, colors, flow, binning)
     gid2 = gid[None, :]

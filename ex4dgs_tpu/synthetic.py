@@ -62,6 +62,14 @@ def make_scene(
     dc = dynamic_capacity if dynamic_capacity is not None else n_dynamic
     model = create_from_pcd(pts, cols, cfg, duration=duration, static_capacity=sc,
                             dynamic_capacity=dc)
+    # Volumetric random clouds have a far tail where the 3-NN distance (and so
+    # the initialized scale) explodes into thousand-pixel splats — real COLMAP
+    # clouds are surface-like and don't. Clip to keep the synthetic workload
+    # representative of a trained scene's splat-size distribution.
+    model = model._replace(params={
+        **model.params,
+        "scaling": jnp.minimum(model.params["scaling"], np.log(0.03)),
+    })
 
     if n_dynamic > 0:
         kf = model.keyframe_capacity

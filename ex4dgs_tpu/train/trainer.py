@@ -1,0 +1,347 @@
+"""Host-side training loop — the reference's train.py:42-282 rebuilt around a
+jitted device step.
+
+Division of labor:
+  * every-step work (render, loss, backward, RAdam, stat accumulation) is one
+    jitted graph (train/step.py) with traced timestamp/iteration/duration —
+    no recompiles across the whole schedule;
+  * rare events (densify/prune/extract/expand, checkpointing) pull the state
+    to host (models/density.py), run in numpy, and push back with bucketed
+    capacities (a capacity change is the only recompile trigger);
+  * images stream through a threaded prefetcher overlapping decode with the
+    device step.
+"""
+from __future__ import annotations
+
+import os
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.scene import ImagePrefetcher, Scene
+from ..io.checkpoint import save_checkpoint
+from ..io.model_ply import save_model_ply
+from ..models import density as D
+from ..models.config import ModelConfig, OptimizationConfig
+from ..models.state import GaussianModel, create_from_pcd, round_capacity
+from ..models.optimizer import RAdamState, init_state
+from ..rendering import default_capacity
+from .step import StepOutputs, StepStatics, train_step
+
+
+class ErrorTracker:
+    """Per-timestamp-window loss bookkeeping
+    (c_gaussian_model.py:1299-1328)."""
+
+    def __init__(self, interval: int):
+        self.interval = interval
+        self.errors: dict[int, tuple[float, int]] = {}
+
+    def mark(self, loss: float, timestamp: float) -> None:
+        t_idx = int(timestamp // self.interval)
+        s, c = self.errors.get(t_idx, (0.0, 0))
+        self.errors[t_idx] = (s + loss, c + 1)
+
+    def pop_worst(self):
+        if not self.errors:
+            return None
+        max_count = max(c for _, c in self.errors.values())
+        best_idx, best_loss = None, 0.0
+        for t_idx, (s, c) in self.errors.items():
+            if s / c > best_loss and c > max_count * 0.1:
+                best_loss = s / c
+                best_idx = t_idx
+        if best_idx is None or best_loss == 0.0:
+            return None
+        del self.errors[best_idx]
+        return (best_idx + 0.5) * self.interval
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        opt: OptimizationConfig,
+        scene: Scene,
+        model: GaussianModel | None = None,
+        opt_state: RAdamState | None = None,
+        seed: int = 0,
+        capacity: int | None = None,
+        max_per_tile: int | None = None,
+        backend: str | None = None,
+        log_every: int = 50,
+    ):
+        self.cfg = cfg
+        self.opt = opt
+        self.scene = scene
+        self.rng = np.random.default_rng(seed)
+        self.pyrng = random.Random(seed)
+        self.log_every = log_every
+
+        if model is None:
+            pc = scene.info.point_cloud
+            model = create_from_pcd(
+                pc.points, pc.colors, cfg,
+                duration=max(cfg.start_duration, 1),
+            )
+        self.model = model
+        self.opt_state = opt_state if opt_state is not None else init_state(model.params)
+        self.error_tracker = ErrorTracker(cfg.time_interval)
+        self.prefetcher = ImagePrefetcher()
+
+        cam0 = scene.train_cameras[0] if scene.train_cameras else None
+        w = cam0.width if cam0 else 128
+        h = cam0.height if cam0 else 128
+        n_pts = model.static_capacity + model.dynamic_capacity
+        self.capacity = capacity or default_capacity(n_pts, w, h)
+        self.max_per_tile = max_per_tile
+        self.backend = backend
+        self.overflow_count = 0
+
+        # schedule state (train.py:77-86)
+        self.sample_len = float(cfg.start_duration)
+        self.mark_extract = False
+        self.need_extract = True
+        self.mark_last = False
+        self.prune_inv = False
+        self.e_count = opt.extract_every
+        self.iteration = 0
+        self.last_vis: np.ndarray | None = None
+
+        scene.apply_timepad(cfg.time_pad, cfg.time_pad_type)
+        scene.set_sampling_len(cfg.start_duration, sample_every=cfg.sample_every)
+        self._host_event(lambda hm: D.expand_duration(hm, cfg, cfg.start_duration))
+
+    # ------------------------------------------------------------------
+    def _statics(self) -> StepStatics:
+        return StepStatics(
+            cfg=self.cfg,
+            opt=self.opt,
+            spatial_lr_scale=self.scene.cameras_extent,
+            capacity=self.capacity,
+            max_per_tile=self.max_per_tile,
+        )
+
+    def _host_event(self, fn) -> None:
+        """Pull -> mutate on host -> push with bucketed capacities."""
+        hm = D.pull(self.model, self.opt_state)
+        fn(hm)
+        sc = max(round_capacity(hm.n_static), self.model.static_capacity)
+        # shrink if utilization dropped far below capacity
+        if hm.n_static < self.model.static_capacity // 4:
+            sc = round_capacity(hm.n_static)
+        dc = self.model.dynamic_capacity
+        if hm.n_dynamic > dc:
+            dc = round_capacity(hm.n_dynamic, 1024)
+        kf_needed = max(hm.keyframe_num, hm.params["motion_xyz"].shape[1])
+        self.model, self.opt_state = D.push(
+            hm, self.cfg, static_capacity=sc, dynamic_capacity=dc,
+            keyframe_capacity=kf_needed,
+        )
+
+    # ------------------------------------------------------------------
+    def train(self, iterations: int | None = None, progress=None) -> dict:
+        cfg, opt = self.cfg, self.opt
+        iterations = iterations or opt.iterations
+        statics = self._statics()
+        cam_iter = None
+        bg_const = jnp.asarray(
+            [1.0, 1.0, 1.0] if cfg.white_background else [0.0, 0.0, 0.0]
+        )
+        metrics = {"loss": [], "psnr": []}
+        t_start = time.time()
+
+        while self.iteration < iterations:
+            self.iteration += 1
+            it = self.iteration
+
+            if it % 1000 == 0:
+                self.model = self.model._replace(
+                    active_sh_degree=jnp.minimum(
+                        self.model.active_sh_degree + 1, cfg.sh_degree
+                    )
+                )
+
+            # next camera (new shuffled epoch when exhausted, train.py:117-125)
+            if cam_iter is None:
+                cams = self.scene.sampled_train_cameras()
+                if not cams:
+                    raise RuntimeError("no train cameras in sampling window")
+                cam_iter = self.prefetcher.epoch(cams, shuffle=True, rng=self.pyrng)
+                if it > opt.prune_invisible_interval:
+                    self.prune_inv = True
+            try:
+                cam, gt = next(cam_iter)
+            except StopIteration:
+                cam_iter = None
+                continue
+
+            if self.mark_last and cam.timestamp >= self.sample_len - cfg.time_interval:
+                self.mark_extract = True
+                self.mark_last = False
+
+            bg = (
+                jnp.asarray(self.rng.uniform(size=3).astype(np.float32))
+                if opt.random_background
+                else bg_const
+            )
+
+            statics = self._statics()
+            out: StepOutputs = train_step(
+                self.model,
+                self.opt_state,
+                cam.render_camera(),
+                jnp.asarray(gt),
+                jnp.asarray(cam.timestamp, jnp.float32),
+                bg,
+                jnp.asarray(it, jnp.int32),
+                statics,
+            )
+            self.model, self.opt_state = out.model, out.opt_state
+            loss = float(out.loss)
+            self.error_tracker.mark(loss, cam.timestamp)
+            self.last_vis = np.asarray(out.visibility)
+            self.last_cam = cam
+
+            if int(out.binning_total) > self.capacity:
+                self.overflow_count += 1
+                self.capacity = round_capacity(int(out.binning_total) * 5 // 4,
+                                               65536)
+
+            metrics["loss"].append(loss)
+            metrics["psnr"].append(float(out.psnr))
+            if progress and it % self.log_every == 0:
+                progress(it, loss, float(out.psnr))
+
+            self._scheduled_events(it)
+
+        metrics["wall_time"] = time.time() - t_start
+        return metrics
+
+    # ------------------------------------------------------------------
+    def _scheduled_events(self, it: int) -> None:
+        cfg, opt = self.cfg, self.opt
+        # densify / extract (train.py:203-234)
+        if it < opt.densify_until_iter:
+            if it > opt.densify_from_iter and it % opt.densification_interval == 0:
+                use_err = it > opt.error_base_prune_steps
+                s_max_ssim = (
+                    opt.s_max_ssim
+                    if use_err and it % (opt.densification_interval * opt.ssim_prune_every) == 0
+                    else 0.0
+                )
+                s_l1 = (
+                    opt.s_l1_thres
+                    if use_err and it % (opt.densification_interval * opt.l1_prune_every) == 0
+                    else 100.0
+                )
+                d_max_ssim = (
+                    opt.d_max_ssim
+                    if use_err and it % (opt.densification_interval * opt.ssim_prune_every) == 0
+                    else 0.0
+                )
+                d_l1 = (
+                    opt.d_l1_thres
+                    if use_err and it % (opt.densification_interval * opt.l1_prune_every) == 0
+                    else 100.0
+                )
+                self._host_event(lambda hm: D.densify_and_prune(
+                    hm, cfg, opt, self.scene.cameras_extent, self.rng,
+                    s_max_ssim=s_max_ssim, s_l1_thres=s_l1,
+                    d_max_ssim=d_max_ssim, d_l1_thres=d_l1,
+                ))
+            elif (
+                it > opt.extract_from_iter
+                and it % opt.extracton_interval == 0
+                and self.last_vis is not None
+            ):
+                candidate = self.error_tracker.pop_worst()
+                if candidate is not None:
+                    self._do_extract(candidate)
+        if (
+            it % (opt.densification_interval * 4) == 0
+            and it < opt.densify_until_iter - 3000
+        ):
+            self._host_event(lambda hm: D.adjust_temp_opa(hm, cfg,
+                                                          max_dur=self.sample_len))
+
+        if self.prune_inv and it < opt.iterations and it > 3000:
+            self._host_event(D.prune_invisible)
+            if opt.l1_accum:
+                self._host_event(D.prune_small)
+            self.prune_inv = False
+
+        self._host_event_if_nan()
+
+        # progressive growth (train.py:257-274)
+        if (
+            it > opt.extract_from_iter
+            and it % opt.progressive_growing_steps == opt.make_dynamic_interval
+            and self.need_extract
+        ):
+            self.mark_last = True
+            self.need_extract = False
+
+        if (
+            it > opt.extract_from_iter
+            and it % opt.progressive_growing_steps == 0
+            and it > opt.progressive_growing_steps
+        ):
+            self.sample_len = min(
+                self.scene.duration + cfg.time_shift,
+                cfg.time_interval * cfg.progressive_step + self.scene.sample_len,
+            )
+            self.scene.set_sampling_len(self.sample_len, sample_every=cfg.sample_every)
+            expanded = [False]
+
+            def do_expand(hm):
+                expanded[0] = D.expand_duration(
+                    hm, cfg,
+                    min(self.scene.duration + cfg.time_shift, self.sample_len),
+                )
+
+            self._host_event(do_expand)
+            if expanded[0]:
+                self.e_count += 1
+                if self.e_count >= opt.extract_every:
+                    self.mark_last = True
+                    self.need_extract = True
+                    self.e_count = 0
+
+        if self.mark_extract and self.last_vis is not None:
+            self._do_extract(self.last_cam.timestamp)
+            self.mark_extract = False
+
+    def _host_event_if_nan(self) -> None:
+        xyz = self.model.params["xyz"]
+        if bool(jnp.isnan(xyz).any()) or (
+            self.model.dynamic_capacity
+            and bool(jnp.isnan(self.model.params["motion_xyz"]).any())
+        ):
+            self._host_event(D.prune_nan)
+
+    def _do_extract(self, timestamp: float) -> None:
+        vis = self.last_vis
+        loc = np.asarray(self.last_cam.T, np.float32)
+        self._host_event(lambda hm: D.extract_dynamic_from_static(
+            hm, self.cfg, loc, timestamp,
+            vis[: hm.n_static] if vis is not None else np.ones(hm.n_static, bool),
+            self.scene.cameras_extent,
+            percentile=self.opt.extract_percentile,
+            max_dur=self.sample_len,
+        ))
+
+    # ------------------------------------------------------------------
+    def save(self, model_path: str, iteration: int | None = None) -> None:
+        it = iteration or self.iteration
+        hm = D.pull(self.model, self.opt_state)
+        pc_dir = os.path.join(model_path, "point_cloud", f"iteration_{it}")
+        os.makedirs(pc_dir, exist_ok=True)
+        save_model_ply(hm, os.path.join(pc_dir, "point_cloud.ply"))
+        save_checkpoint(
+            os.path.join(model_path, f"chkpnt{it}.npz"), hm, it,
+            extra={"sample_len": self.sample_len},
+        )

@@ -50,8 +50,10 @@ def test_pallas_forward_matches_jnp():
         proj, g["colors"], g["flow"], binning, width=W, height=H, bg=bg,
         max_depth=100.0, interpret=True,
     )
+    # The kernels compute transmittance via one log-space matmul; the
+    # exp/log1p roundtrip costs ~1e-5 absolute vs the sequential product.
     np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
-                               atol=1e-5)
+                               atol=3e-5)
     np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc), atol=1e-5)

@@ -1,0 +1,78 @@
+"""End-to-end Trainer on a synthetic on-disk scene: schedule events
+(densify, progressive growth, extraction plumbing) run without breaking the
+jitted step, and optimization makes progress."""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from ex4dgs_tpu.data.scene import Scene
+from ex4dgs_tpu.data.readers import read_n3v_scene
+from ex4dgs_tpu.models import ModelConfig, OptimizationConfig
+from ex4dgs_tpu.train.trainer import Trainer
+from tests.test_data_io import _write_colmap_model, _write_frames
+
+
+@pytest.fixture(scope="module")
+def disk_scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene"))
+    _write_colmap_model(os.path.join(root, "colmap_0", "sparse", "0"), n_cams=4,
+                        n_pts=300)
+    _write_frames(root, n_cams=4, n_frames=6)
+    return root
+
+
+def test_trainer_runs_schedule(disk_scene, tmp_path):
+    cfg = ModelConfig(
+        source_path=disk_scene, loader="neural3dvideo", resolution=8,
+        duration=-1, time_interval=2, time_pad=1, start_duration=2,
+        near=0.05, far=50.0,
+    )
+    opt = OptimizationConfig(
+        iterations=120,
+        densification_interval=30,
+        densify_from_iter=20,
+        extract_from_iter=20,
+        densify_until_iter=1000,
+        progressive_growing_steps=40,
+        make_dynamic_interval=10,
+        extracton_interval=60,
+        prune_invisible_interval=100000,
+        random_background=False,
+    )
+    scene = Scene(cfg, scene_info=read_n3v_scene(disk_scene, cfg))
+    trainer = Trainer(cfg, opt, scene, capacity=65536, max_per_tile=256)
+    n0 = int(trainer.model.n_static())
+    metrics = trainer.train(iterations=120)
+
+    losses = np.asarray(metrics["loss"])
+    assert np.isfinite(losses).all()
+    assert losses[-10:].mean() < losses[:10].mean()  # learning
+    # densify ran (counts may go either way, but stats were reset)
+    assert int(trainer.model.n_static()) > 0
+    # progressive window advanced
+    assert trainer.sample_len >= cfg.start_duration
+
+    # save produces reference-layout artifacts
+    mp = str(tmp_path / "out")
+    trainer.save(mp)
+    it = trainer.iteration
+    assert os.path.exists(
+        os.path.join(mp, "point_cloud", f"iteration_{it}", "point_cloud.ply")
+    )
+    assert os.path.exists(os.path.join(mp, f"chkpnt{it}.npz"))
+
+    # resume from checkpoint
+    from ex4dgs_tpu.io.checkpoint import load_checkpoint
+    from ex4dgs_tpu.models.density import push
+
+    hm, saved_it, extra = load_checkpoint(os.path.join(mp, f"chkpnt{it}.npz"))
+    assert saved_it == it
+    model2, opt_state2 = push(hm, cfg)
+    t2 = Trainer(cfg, opt, scene, model=model2, opt_state=opt_state2,
+                 capacity=65536, max_per_tile=256)
+    t2.iteration = saved_it
+    t2.sample_len = float(extra["sample_len"])
+    m2 = t2.train(iterations=saved_it + 10)
+    assert np.isfinite(np.asarray(m2["loss"])).all()

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Training CLI — the reference's train.py:371-420 surface.
+
+Usage:
+  python train.py --config configs/n3v_base.json --source_path <scene> \
+      --model_path out/scene [--iterations N] [--start_checkpoint ckpt.npz]
+
+Flags mirror the reference's argparse groups (arguments/__init__.py) via the
+dataclass configs; any Model/Optimization/Pipeline field is settable as
+--<name> and a JSON config overlays first (unknown keys ignored).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _add_dataclass_args(parser, cls):
+    for f in dataclasses.fields(cls):
+        if f.type in ("bool", bool):
+            parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=None)
+        else:
+            ftype = {"int": int, "float": float, "str": str}.get(str(f.type), str)
+            parser.add_argument(f"--{f.name}", type=ftype, default=None)
+
+
+def main(argv=None):
+    from ex4dgs_tpu.models.config import (ModelConfig, OptimizationConfig,
+                                          PipelineConfig, overlay_json)
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--save_iterations", type=int, nargs="*", default=[])
+    parser.add_argument("--test_iterations", type=int, nargs="*", default=[])
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--backend", type=str, default=None,
+                        help="pallas | jnp | None=auto")
+    _add_dataclass_args(parser, ModelConfig)
+    _add_dataclass_args(parser, OptimizationConfig)
+    args = parser.parse_args(argv)
+
+    cfg, opt, pipe = ModelConfig(), OptimizationConfig(), PipelineConfig()
+    if args.config:
+        cfg = overlay_json(cfg, args.config)
+        opt = overlay_json(opt, args.config)
+        pipe = overlay_json(pipe, args.config)
+    overrides = {k: v for k, v in vars(args).items() if v is not None}
+    cfg = overlay_json(cfg, {k: v for k, v in overrides.items()
+                             if k in {f.name for f in dataclasses.fields(ModelConfig)}})
+    opt = overlay_json(opt, {k: v for k, v in overrides.items()
+                             if k in {f.name for f in dataclasses.fields(OptimizationConfig)}})
+    if not cfg.source_path:
+        parser.error("--source_path is required")
+    model_path = cfg.model_path or os.path.join("output", os.path.basename(cfg.source_path))
+    os.makedirs(model_path, exist_ok=True)
+    with open(os.path.join(model_path, "cfg_args.json"), "w") as f:
+        json.dump({**dataclasses.asdict(cfg), **dataclasses.asdict(opt)}, f, indent=1)
+
+    from ex4dgs_tpu.data.scene import Scene
+    from ex4dgs_tpu.train.trainer import Trainer
+
+    scene = Scene(cfg, model_path=model_path, save_input=True)
+
+    model = opt_state = None
+    if args.start_checkpoint:
+        from ex4dgs_tpu.io.checkpoint import load_checkpoint
+        from ex4dgs_tpu.models.density import push
+
+        hm, start_it, extra = load_checkpoint(args.start_checkpoint)
+        model, opt_state = push(hm, cfg)
+
+    trainer = Trainer(cfg, opt, scene, model=model, opt_state=opt_state,
+                      seed=args.seed, backend=args.backend)
+    if args.start_checkpoint:
+        trainer.iteration = start_it
+        if "sample_len" in extra:
+            trainer.sample_len = float(extra["sample_len"])
+            scene.set_sampling_len(trainer.sample_len, sample_every=cfg.sample_every)
+
+    save_at = sorted(set(args.save_iterations) | {opt.iterations})
+
+    def progress(it, loss, psnr_val):
+        print(f"[{it}/{opt.iterations}] loss={loss:.5f} psnr={psnr_val:.2f} "
+              f"static={int(trainer.model.n_static())} "
+              f"dynamic={int(trainer.model.n_dynamic())}", flush=True)
+
+    for target in save_at:
+        if trainer.iteration >= target:
+            continue
+        trainer.train(iterations=target, progress=progress)
+        print(f"[ITER {target}] saving", flush=True)
+        trainer.save(model_path, target)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
