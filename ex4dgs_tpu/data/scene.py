@@ -151,37 +151,58 @@ class Scene:
 
 
 class ImagePrefetcher:
-    """Threaded look-ahead image loader (replaces the joblib generator,
+    """Look-ahead image loader (replaces the joblib generator,
     scene/__init__.py:199-204). Yields (camera, image[H,W,3] f32) with
-    `lookahead` decodes in flight."""
+    `lookahead` decodes in flight.
 
-    def __init__(self, workers: int = 4, lookahead: int = 8):
+    Prefers the native C++ libpng pool (ex4dgs_tpu/native) — box-filter
+    downsample, bypasses the GIL entirely; falls back to a PIL thread pool
+    (LANCZOS) when the native build is unavailable or a file is not PNG."""
+
+    def __init__(self, workers: int = 4, lookahead: int = 8, native: bool = True):
         self.pool = ThreadPoolExecutor(max_workers=workers)
         self.lookahead = lookahead
+        self.native = None
+        if native:
+            try:
+                from ..native import NativeImageLoader
+
+                self.native = NativeImageLoader(workers)
+            except Exception:
+                self.native = None
+
+    def _submit(self, cam: Camera):
+        if self.native is not None and cam.image_path.lower().endswith(".png"):
+            ticket = self.native.submit(cam.image_path, cam.width, cam.height,
+                                        cam.im_scale)
+            return ("native", ticket)
+        return ("pil", self.pool.submit(
+            load_image, cam.image_path, (cam.width, cam.height), cam.im_scale
+        ))
+
+    def _result(self, handle, cam: Camera):
+        kind, h = handle
+        if kind == "native":
+            try:
+                return self.native.wait(h)
+            except IOError:
+                return load_image(cam.image_path, (cam.width, cam.height),
+                                  cam.im_scale)
+        return h.result()
 
     def epoch(self, cameras: list[Camera], shuffle: bool = True, rng=None):
         cams = list(cameras)
         if shuffle:
             (rng or random).shuffle(cams)
-        futures = []
-        it = iter(cams)
-        pending_cams = []
-
-        def submit(cam):
-            futures.append(self.pool.submit(
-                load_image, cam.image_path, (cam.width, cam.height), cam.im_scale
-            ))
-            pending_cams.append(cam)
-
+        handles = []
         for cam in cams[: self.lookahead]:
-            submit(cam)
-        consumed = self.lookahead
+            handles.append(self._submit(cam))
+        consumed = min(self.lookahead, len(cams))
         i = 0
         while i < len(cams):
-            img = futures[i].result()
-            cam = pending_cams[i]
+            img = self._result(handles[i], cams[i])
             if consumed < len(cams):
-                submit(cams[consumed])
+                handles.append(self._submit(cams[consumed]))
                 consumed += 1
-            yield cam, img
+            yield cams[i], img
             i += 1

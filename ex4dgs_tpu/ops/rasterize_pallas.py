@@ -74,37 +74,6 @@ def pack_sorted(proj: Projected, colors, flow, binning: Binning):
     return data, g.astype(jnp.int32)
 
 
-def _lane_cumprod(x):
-    """Inclusive cumulative product along the lane (last) axis via log-step
-    shifted multiplies (Hillis-Steele) — portable across Mosaic versions."""
-    g = x.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
-    s = 1
-    while s < g:
-        shifted = pltpu.roll(x, s, axis=len(x.shape) - 1)
-        x = x * jnp.where(lane >= s, shifted, 1.0)
-        s *= 2
-    return x
-
-
-def _lane_cumsum(x):
-    """Inclusive cumulative sum along the lane axis (Hillis-Steele)."""
-    g = x.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
-    s = 1
-    while s < g:
-        shifted = pltpu.roll(x, s, axis=len(x.shape) - 1)
-        x = x + jnp.where(lane >= s, shifted, 0.0)
-        s *= 2
-    return x
-
-
-def _shift_right_one(x, fill):
-    """Exclusive shift along lanes: out[..., i] = x[..., i-1], out[..., 0]=fill."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
-    return jnp.where(lane >= 1, pltpu.roll(x, 1, axis=len(x.shape) - 1), fill)
-
-
 def _pixel_coords(tile_idx, grid_x):
     """Tile origin (ox, oy) and LOCAL pixel offsets [N_PIX, 1].
 
