@@ -214,3 +214,45 @@ def test_mean2d_offset_grad(setup):
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g[:, :2]).max() > 0
+
+
+def test_tight_rect_lossless(setup):
+    """The opacity-aware rect shrink (projection.py) must not change images:
+    contributions outside the shrunk rect are below the 1/255 alpha floor the
+    compositor drops anyway."""
+    import jax.numpy as jnp
+    from ex4dgs_tpu.ops.binning import bin_gaussians
+    from ex4dgs_tpu.ops.projection import tile_grid
+
+    cam, camdims, scene, proj, colors, flow, bg = setup
+    # rebuild rects at the reference's full 3-sigma radius
+    tile = 16
+    gx, gy = tile_grid(W, H)
+    r = proj.radius.astype(jnp.float32)
+    rmin_x = jnp.clip(((proj.xy[:, 0] - r) / tile).astype(jnp.int32), 0, gx)
+    rmin_y = jnp.clip(((proj.xy[:, 1] - r) / tile).astype(jnp.int32), 0, gy)
+    rmax_x = jnp.clip(((proj.xy[:, 0] + r + tile - 1) / tile).astype(jnp.int32), 0, gx)
+    rmax_y = jnp.clip(((proj.xy[:, 1] + r + tile - 1) / tile).astype(jnp.int32), 0, gy)
+    tt = jnp.where(proj.valid, (rmax_x - rmin_x) * (rmax_y - rmin_y), 0)
+    proj_wide = proj._replace(
+        rect_min=jnp.stack([rmin_x, rmin_y], -1),
+        rect_max=jnp.stack([rmax_x, rmax_y], -1),
+        tiles_touched=tt,
+    )
+    out_tight = rasterize_tiled(
+        proj, colors, flow, bin_gaussians(proj, gx, gy, 16384),
+        width=W, height=H, bg=bg, max_depth=FAR, chunk=64, max_per_tile=2048,
+    )
+    out_wide = rasterize_tiled(
+        proj_wide, colors, flow, bin_gaussians(proj_wide, gx, gy, 16384),
+        width=W, height=H, bg=bg, max_depth=FAR, chunk=64, max_per_tile=2048,
+    )
+    # Excluded contributions are exact zeros, but shifted chunk boundaries
+    # re-associate the transmittance product; pixels sitting exactly on the
+    # 1e-4 early-termination latch can flip a marginal contribution. Bound:
+    # overwhelmingly bitwise-equal, tiny bounded diffs on latch pixels only.
+    dc = np.abs(np.asarray(out_tight.color) - np.asarray(out_wide.color))
+    da = np.abs(np.asarray(out_tight.acc) - np.asarray(out_wide.acc))
+    assert (dc < 1e-6).mean() > 0.999
+    assert dc.max() < 1e-3
+    assert da.max() < 1e-3
