@@ -170,7 +170,7 @@ def _transmittance(alpha, cum_in, cumU):
 
 def _forward_kernel(starts, stops, data_hbm, gid_hbm, accum_out, tfinal_out,
                     bestidx_out, buf, gbuf, cum_ref, tfin_ref, best_ref,
-                    bid_ref, acc_ref, sem, gsem, *, grid_x):
+                    bid_ref, acc_ref, sem, gsem, *, grid_x, track_idx):
     t = pl.program_id(0)
     start = starts[t]
     stop = stops[t]
@@ -191,18 +191,20 @@ def _forward_kernel(starts, stops, data_hbm, gid_hbm, accum_out, tfinal_out,
         pltpu.make_async_copy(
             data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot], sem.at[slot]
         ).start()
-        pltpu.make_async_copy(
-            gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[slot], gsem.at[slot]
-        ).start()
+        if track_idx:
+            pltpu.make_async_copy(
+                gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[slot], gsem.at[slot]
+            ).start()
 
     def wait_dma(j, slot):
         off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
         pltpu.make_async_copy(
             data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot], sem.at[slot]
         ).wait()
-        pltpu.make_async_copy(
-            gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[slot], gsem.at[slot]
-        ).wait()
+        if track_idx:
+            pltpu.make_async_copy(
+                gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[slot], gsem.at[slot]
+            ).wait()
 
     @pl.when(nchunks > 0)
     def _():
@@ -237,16 +239,17 @@ def _forward_kernel(starts, stops, data_hbm, gid_hbm, accum_out, tfinal_out,
         )
         tfin_ref[:] = jnp.minimum(tfin_ref[:], chunk_min)
 
-        cmax = jnp.max(w, axis=1, keepdims=True)
-        ids = jnp.broadcast_to(gbuf[slot, 0:1, :], (N_PIX, G_CHUNK))
-        # id of the max-weight lane (min id among exact ties — deterministic)
-        cid = jnp.min(
-            jnp.where((w == cmax) & (cmax > 0), ids, jnp.int32(2**30)),
-            axis=1, keepdims=True,
-        )
-        better = cmax > best_ref[:]
-        best_ref[:] = jnp.where(better, cmax, best_ref[:])
-        bid_ref[:] = jnp.where(better, cid, bid_ref[:])
+        if track_idx:
+            cmax = jnp.max(w, axis=1, keepdims=True)
+            ids = jnp.broadcast_to(gbuf[slot, 0:1, :], (N_PIX, G_CHUNK))
+            # id of the max-weight lane (min id among exact ties)
+            cid = jnp.min(
+                jnp.where((w == cmax) & (cmax > 0), ids, jnp.int32(2**30)),
+                axis=1, keepdims=True,
+            )
+            better = cmax > best_ref[:]
+            best_ref[:] = jnp.where(better, cmax, best_ref[:])
+            bid_ref[:] = jnp.where(better, cid, bid_ref[:])
 
         new_cum = cum[:, -1:]
         cum_ref[:] = new_cum
@@ -270,8 +273,10 @@ def _forward_kernel(starts, stops, data_hbm, gid_hbm, accum_out, tfinal_out,
     bestidx_out[:] = bid_ref[:][None]
 
 
-def _forward_pallas(data, gid, starts, stops, *, num_tiles, grid_x, interpret=False):
-    kernel = functools.partial(_forward_kernel, grid_x=grid_x)
+def _forward_pallas(data, gid, starts, stops, *, num_tiles, grid_x,
+                    interpret=False, track_idx=True):
+    kernel = functools.partial(_forward_kernel, grid_x=grid_x,
+                               track_idx=track_idx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -529,24 +534,26 @@ def _backward_pallas(data, starts, stops, gacc, acdot, gend, tfin, *,
 # custom_vjp wrapper + public API
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def composite_tiles(data, bg, gid, starts, stops, num_tiles, grid_x, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def composite_tiles(data, bg, gid, starts, stops, num_tiles, grid_x, interpret,
+                    track_idx=True):
     accum, tfinal, bestidx = _forward_pallas(
         data, gid, starts, stops, num_tiles=num_tiles, grid_x=grid_x,
-        interpret=interpret,
+        interpret=interpret, track_idx=track_idx,
     )
     color = accum[..., 0:3] + tfinal * bg  # tfinal [T, P, 1] broadcasts
     return color, accum, tfinal, bestidx
 
 
-def _composite_fwd(data, bg, gid, starts, stops, num_tiles, grid_x, interpret):
+def _composite_fwd(data, bg, gid, starts, stops, num_tiles, grid_x, interpret,
+                   track_idx=True):
     out = composite_tiles(data, bg, gid, starts, stops, num_tiles, grid_x,
-                          interpret)
+                          interpret, track_idx)
     _color, accum, tfinal, _bestidx = out
     return out, (data, bg, accum, tfinal, starts, stops)
 
 
-def _composite_bwd(num_tiles, grid_x, interpret, res, cts):
+def _composite_bwd(num_tiles, grid_x, interpret, track_idx, res, cts):
     data, bg, accum, tfinal, starts, stops = res
     g_color, g_accum, g_tfinal, _ = cts
     # color = accum[...,:3] + tfinal*bg folds into the accum/tfinal cotangents
@@ -583,9 +590,14 @@ def rasterize_tiled_pallas(
     max_depth: float,
     tile: int = TILE,
     interpret: bool = False,
+    track_idx: bool = True,
     **_unused,
 ) -> comp.RenderOutputs:
-    """Drop-in replacement for ops.rasterize_tiled.rasterize_tiled on TPU."""
+    """Drop-in replacement for ops.rasterize_tiled.rasterize_tiled on TPU.
+
+    track_idx=False skips the dominant-contributor bookkeeping (the training
+    loop never consumes it — train.py ignores `dominent_idxs`); `idx` comes
+    back as -1s."""
     assert tile == TILE
     grid_x = (width + tile - 1) // tile
     grid_y = (height + tile - 1) // tile
@@ -597,7 +609,7 @@ def rasterize_tiled_pallas(
     gid2 = gid[None, :]
     color, accum, tfinal, bestidx = composite_tiles(
         data, bg, gid2, binning.tile_start, binning.tile_stop, num_tiles,
-        grid_x, interpret,
+        grid_x, interpret, track_idx,
     )
 
     acc = jax.lax.stop_gradient(accum[..., 7])

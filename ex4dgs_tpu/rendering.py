@@ -103,6 +103,7 @@ def render_points(
     override_color: jnp.ndarray | None = None,
     subpixel_offset: jnp.ndarray | None = None,
     backend: str | None = None,
+    track_idx: bool = True,
 ) -> RenderResult:
     """Rasterize pre-assembled per-frame point data."""
     near = cfg.near if near is None else near
@@ -120,7 +121,7 @@ def render_points(
     return composite_projected(
         proj, colors, flow_dirs, cam, bg=bg, far=far, capacity=capacity,
         chunk=chunk, max_per_tile=max_per_tile, subpixel_offset=subpixel_offset,
-        static_num=pts.static_num, backend=backend,
+        static_num=pts.static_num, backend=backend, track_idx=track_idx,
     )
 
 
@@ -182,6 +183,7 @@ def composite_projected(
     subpixel_offset: jnp.ndarray | None = None,
     static_num: int = 0,
     backend: str | None = None,
+    track_idx: bool = True,
 ) -> RenderResult:
     """Binning + tile compositing of already-projected Gaussians.
 
@@ -199,6 +201,7 @@ def composite_projected(
         out = rasterize_tiled_pallas(
             proj, colors, flow_dirs, binning,
             width=cam.width, height=cam.height, bg=bg, max_depth=far,
+            track_idx=track_idx,
         )
     else:
         out = rasterize_tiled.rasterize_tiled(

@@ -127,6 +127,7 @@ def _loss_and_aux(params, mean2d_offset, flow_dirs, model, cam, gt, t, bg,
         max_per_tile=statics.max_per_tile,
         mean2d_offset=mean2d_offset,
         flow_dirs=flow_dirs,
+        track_idx=False,  # train.py never consumes dominent_idxs
     )
     img = res.render
     opt = statics.opt

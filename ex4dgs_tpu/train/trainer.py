@@ -73,7 +73,13 @@ class Trainer:
         max_per_tile: int | None = None,
         backend: str | None = None,
         log_every: int = 50,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with (data, gauss) axes — enables
+        the SPMD step (parallel/step_dp.py): `data` cameras are consumed per
+        iteration with pmean'd gradients, the per-Gaussian preprocess is
+        sharded over `gauss`. The reference is strictly single-GPU; with
+        data=1, gauss=1 this reproduces it exactly."""
         self.cfg = cfg
         self.opt = opt
         self.scene = scene
@@ -100,6 +106,9 @@ class Trainer:
         self.max_per_tile = max_per_tile
         self.backend = backend
         self.overflow_count = 0
+        self.mesh = mesh
+        self._sharded_step = None
+        self._sharded_statics = None
 
         # schedule state (train.py:77-86)
         self.sample_len = float(cfg.start_duration)
@@ -124,6 +133,14 @@ class Trainer:
             capacity=self.capacity,
             max_per_tile=self.max_per_tile,
         )
+
+    def _get_sharded_step(self, statics: StepStatics):
+        if self._sharded_step is None or self._sharded_statics != statics:
+            from ..parallel.step_dp import make_sharded_train_step
+
+            self._sharded_step = make_sharded_train_step(statics, self.mesh)
+            self._sharded_statics = statics
+        return self._sharded_step
 
     def _host_event(self, fn) -> None:
         """Pull -> mutate on host -> push with bucketed capacities."""
@@ -190,26 +207,53 @@ class Trainer:
             )
 
             statics = self._statics()
-            out: StepOutputs = train_step(
-                self.model,
-                self.opt_state,
-                cam.render_camera(),
-                jnp.asarray(gt),
-                jnp.asarray(cam.timestamp, jnp.float32),
-                bg,
-                jnp.asarray(it, jnp.int32),
-                statics,
-            )
-            self.model, self.opt_state = out.model, out.opt_state
-            loss = float(out.loss)
-            self.error_tracker.mark(loss, cam.timestamp)
-            self.last_vis = np.asarray(out.visibility)
-            self.last_cam = cam
+            if self.mesh is not None:
+                data_size = self.mesh.shape["data"]
+                batch = [(cam, gt)]
+                while len(batch) < data_size and cam_iter is not None:
+                    try:
+                        batch.append(next(cam_iter))
+                    except StopIteration:
+                        cam_iter = None
+                while len(batch) < data_size:
+                    batch.append(batch[-1])  # epoch boundary: pad with repeats
+                step = self._get_sharded_step(statics)
+                cams_b = jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[c.render_camera() for c, _ in batch],
+                )
+                gts = jnp.stack([jnp.asarray(g) for _, g in batch])
+                ts = jnp.asarray([c.timestamp for c, _ in batch], jnp.float32)
+                out = step(self.model, self.opt_state, cams_b, gts, ts, bg,
+                           jnp.asarray(it, jnp.int32))
+                self.model, self.opt_state = out.model, out.opt_state
+                loss = float(out.loss)
+                for c, _ in batch:
+                    self.error_tracker.mark(loss, c.timestamp)
+                self.last_vis = None  # per-camera visibility folded into stats
+                self.last_cam = cam
+            else:
+                out: StepOutputs = train_step(
+                    self.model,
+                    self.opt_state,
+                    cam.render_camera(),
+                    jnp.asarray(gt),
+                    jnp.asarray(cam.timestamp, jnp.float32),
+                    bg,
+                    jnp.asarray(it, jnp.int32),
+                    statics,
+                )
+                self.model, self.opt_state = out.model, out.opt_state
+                loss = float(out.loss)
+                self.error_tracker.mark(loss, cam.timestamp)
+                self.last_vis = np.asarray(out.visibility)
+                self.last_cam = cam
 
-            if int(out.binning_total) > self.capacity:
-                self.overflow_count += 1
-                self.capacity = round_capacity(int(out.binning_total) * 5 // 4,
-                                               65536)
+                if int(out.binning_total) > self.capacity:
+                    self.overflow_count += 1
+                    self.capacity = round_capacity(
+                        int(out.binning_total) * 5 // 4, 65536
+                    )
 
             metrics["loss"].append(loss)
             metrics["psnr"].append(float(out.psnr))
@@ -256,7 +300,7 @@ class Trainer:
             elif (
                 it > opt.extract_from_iter
                 and it % opt.extracton_interval == 0
-                and self.last_vis is not None
+                and hasattr(self, "last_cam")
             ):
                 candidate = self.error_tracker.pop_worst()
                 if candidate is not None:
@@ -311,7 +355,7 @@ class Trainer:
                     self.need_extract = True
                     self.e_count = 0
 
-        if self.mark_extract and self.last_vis is not None:
+        if self.mark_extract and hasattr(self, "last_cam"):
             self._do_extract(self.last_cam.timestamp)
             self.mark_extract = False
 

@@ -76,3 +76,35 @@ def test_trainer_runs_schedule(disk_scene, tmp_path):
     t2.sample_len = float(extra["sample_len"])
     m2 = t2.train(iterations=saved_it + 10)
     assert np.isfinite(np.asarray(m2["loss"])).all()
+
+
+def test_trainer_sharded_mesh(disk_scene):
+    """Trainer with a (data=2, gauss=2) mesh: the SPMD path trains and stays
+    finite; schedule events interleave with sharded steps."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from ex4dgs_tpu.parallel.mesh import make_mesh
+
+    cfg = ModelConfig(
+        source_path=disk_scene, loader="neural3dvideo", resolution=8,
+        duration=-1, time_interval=2, time_pad=1, start_duration=2,
+        near=0.05, far=50.0,
+    )
+    opt = OptimizationConfig(
+        iterations=40, densification_interval=15, densify_from_iter=10,
+        extract_from_iter=10, densify_until_iter=1000,
+        progressive_growing_steps=20, make_dynamic_interval=5,
+        extracton_interval=30, prune_invisible_interval=100000,
+        random_background=False,
+    )
+    scene = Scene(cfg, scene_info=read_n3v_scene(disk_scene, cfg))
+    mesh = make_mesh(4, data=2, gauss=2)
+    trainer = Trainer(cfg, opt, scene, capacity=66560, max_per_tile=256,
+                      mesh=mesh)
+    metrics = trainer.train(iterations=40)
+    losses = np.asarray(metrics["loss"])
+    assert np.isfinite(losses).all()
+    assert losses[-5:].mean() < losses[:5].mean() * 1.5
+    for k, v in trainer.model.params.items():
+        assert bool(np.isfinite(np.asarray(v)).all()), k
