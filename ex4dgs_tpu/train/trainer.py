@@ -74,6 +74,8 @@ class Trainer:
         backend: str | None = None,
         log_every: int = 50,
         mesh=None,
+        test_iterations: tuple = (),
+        metrics_path: str | None = None,
     ):
         """mesh: optional jax.sharding.Mesh with (data, gauss) axes — enables
         the SPMD step (parallel/step_dp.py): `data` cameras are consumed per
@@ -109,6 +111,8 @@ class Trainer:
         self.mesh = mesh
         self._sharded_step = None
         self._sharded_statics = None
+        self.test_iterations = set(test_iterations)
+        self._metrics_file = open(metrics_path, "a") if metrics_path else None
 
         # schedule state (train.py:77-86)
         self.sample_len = float(cfg.start_duration)
@@ -259,6 +263,25 @@ class Trainer:
             metrics["psnr"].append(float(out.psnr))
             if progress and it % self.log_every == 0:
                 progress(it, loss, float(out.psnr))
+            if self._metrics_file and it % self.log_every == 0:
+                import json
+
+                self._metrics_file.write(json.dumps({
+                    "iteration": it, "loss": loss, "psnr": float(out.psnr),
+                    "n_static": int(self.model.n_static()),
+                    "n_dynamic": int(self.model.n_dynamic()),
+                }) + "\n")
+                self._metrics_file.flush()
+
+            if it in self.test_iterations:
+                report = self.evaluate_test_set()
+                metrics.setdefault("test_reports", []).append((it, report))
+                if self._metrics_file:
+                    import json
+
+                    self._metrics_file.write(json.dumps(
+                        {"iteration": it, "test": report}) + "\n")
+                    self._metrics_file.flush()
 
             self._scheduled_events(it)
 
@@ -377,6 +400,25 @@ class Trainer:
             percentile=self.opt.extract_percentile,
             max_dur=self.sample_len,
         ))
+
+    def evaluate_test_set(self, max_frames: int = 8) -> dict:
+        """In-training validation (training_report, train.py:306-368): render
+        a slice of the test cameras at their timestamps, report mean PSNR."""
+        from ..ops.losses import psnr as psnr_fn
+
+        cams = self.scene.sampled_test_cameras()[:max_frames]
+        if not cams:
+            return {"n_frames": 0}
+        vals = []
+        for cam, gt in self.prefetcher.epoch(cams, shuffle=False):
+            from ..rendering import render
+
+            img = render(cam.render_camera(), self.model, self.cfg,
+                         t=jnp.asarray(cam.timestamp, jnp.float32),
+                         bg=jnp.zeros(3), capacity=self.capacity,
+                         max_per_tile=self.max_per_tile).render
+            vals.append(float(psnr_fn(jnp.clip(img, 0, 1), jnp.asarray(gt))))
+        return {"n_frames": len(vals), "psnr": float(np.mean(vals))}
 
     # ------------------------------------------------------------------
     def save(self, model_path: str, iteration: int | None = None) -> None:
