@@ -48,29 +48,29 @@ N_ACC = 8  # accum channels: r g b depth fx fy fz acc
 
 def pack_sorted(proj: Projected, colors, flow, binning: Binning):
     """Gather per-instance data in sorted order into a [16, capacity] matrix
-    (feature-major so a depth chunk is one contiguous [16, G] block)."""
+    (feature-major so a depth chunk is one contiguous [16, G] block).
+
+    Built as ONE [capacity, 16] row-gather from a pre-stacked [P, 16] matrix
+    followed by a transpose — 16 separate column gathers cost ~10x more on
+    TPU (each lowers to a scalarish 4-byte-element gather)."""
     g = binning.order
-    take = lambda a: jnp.take(a, g, axis=0)
-    xy = take(proj.xy)
-    conic = take(proj.conic)
-    opac = jnp.take(proj.opacity * proj.valid, g)
-    col = take(colors)
-    depth = jnp.take(proj.depth, g)
-    fl = take(flow)
-    ones = jnp.ones_like(opac)
-    zeros = jnp.zeros_like(opac)
-    data = jnp.stack(
+    P = proj.xy.shape[0]
+    opac = proj.opacity * proj.valid
+    ones = jnp.ones((P,), jnp.float32)
+    zeros = jnp.zeros((P,), jnp.float32)
+    cols = jnp.stack(
         [
-            xy[:, 0], xy[:, 1],
-            conic[:, 0], conic[:, 1], conic[:, 2],
+            proj.xy[:, 0], proj.xy[:, 1],
+            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
             opac,
-            col[:, 0], col[:, 1], col[:, 2],
-            depth,
-            fl[:, 0], fl[:, 1], fl[:, 2],
+            colors[:, 0], colors[:, 1], colors[:, 2],
+            proj.depth,
+            flow[:, 0], flow[:, 1], flow[:, 2],
             ones, zeros, zeros,
         ],
-        axis=0,
-    )  # [16, capacity]
+        axis=1,
+    )  # [P, 16] — P is small (splat count, not instances)
+    data = jnp.take(cols, g, axis=0).T  # [capacity, 16] gather -> [16, capacity]
     return data, g.astype(jnp.int32)
 
 
