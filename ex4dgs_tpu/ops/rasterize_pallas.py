@@ -365,6 +365,12 @@ def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
             data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot], sem.at[slot]
         ).wait()
 
+    def wait_write(j, slot):
+        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+        pltpu.make_async_copy(
+            dbuf.at[slot], dgrad_out.at[:, pl.ds(off, G_CHUNK)], wsem.at[slot]
+        ).wait()
+
     @pl.when(nchunks > 0)
     def _():
         start_read(0, 0)
@@ -374,7 +380,7 @@ def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
         # so they are plain writes. Sequential grid => race-free.
         rdma = pltpu.make_async_copy(
             dgrad_out.at[:, pl.ds(pl.multiple_of(base, G_CHUNK), G_CHUNK)],
-            dbuf, wsem,
+            dbuf.at[0], wsem.at[0],
         )
         rdma.start()
         rdma.wait()
@@ -387,9 +393,14 @@ def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
             start_read(j + 1, 1 - slot)
         wait_read(j, slot)
         off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+        # double-buffered grad writes: drain the write that last used this
+        # dbuf slot (chunk j-2) before reusing it
+        @pl.when(j >= 2)
+        def _():
+            wait_write(j - 2, slot)
         @pl.when(j > 0)
         def _():
-            dbuf[...] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
+            dbuf[slot] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
         chunk = buf[slot]
         alpha, alpha_raw, expt, _ = _chunk_alpha(chunk, moms, start - off,
                                                  stop - off, ox, oy)
@@ -439,18 +450,18 @@ def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
         cb = chunk[3:4, :]
         cc = chunk[4:5, :]
         # dpower/dxg = -(ca*dx + cb*dy), dx = xg - px:
-        dbuf[0:1, :] += -(ca * (xg * s0 - sx) + cb * (yg * s0 - sy))
-        dbuf[1:2, :] += -(cc * (yg * s0 - sy) + cb * (xg * s0 - sx))
+        dbuf[slot, 0:1, :] += -(ca * (xg * s0 - sx) + cb * (yg * s0 - sy))
+        dbuf[slot, 1:2, :] += -(cc * (yg * s0 - sy) + cb * (xg * s0 - sx))
         # dpower/dca = -0.5 dx^2 -> sum dx^2 dlp = xg^2 s0 - 2 xg sx + sxx
-        dbuf[2:3, :] += -0.5 * (xg * xg * s0 - 2.0 * xg * sx + sxx)
-        dbuf[3:4, :] += -(xg * yg * s0 - yg * sx - xg * sy + sxy)
-        dbuf[4:5, :] += -0.5 * (yg * yg * s0 - 2.0 * yg * sy + syy)
-        dbuf[5:6, :] += dl_dopac
-        dbuf[6:6 + N_ACC, :] += dfeat.T
+        dbuf[slot, 2:3, :] += -0.5 * (xg * xg * s0 - 2.0 * xg * sx + sxx)
+        dbuf[slot, 3:4, :] += -(xg * yg * s0 - yg * sx - xg * sy + sxy)
+        dbuf[slot, 4:5, :] += -0.5 * (yg * yg * s0 - 2.0 * yg * sy + syy)
+        dbuf[slot, 5:6, :] += dl_dopac
+        dbuf[slot, 6:6 + N_ACC, :] += dfeat.T
 
-        wdma = pltpu.make_async_copy(dbuf, dgrad_out.at[:, pl.ds(off, G_CHUNK)], wsem)
-        wdma.start()
-        wdma.wait()
+        pltpu.make_async_copy(
+            dbuf.at[slot], dgrad_out.at[:, pl.ds(off, G_CHUNK)], wsem.at[slot]
+        ).start()  # drained by chunk j+2 (or the epilogue)
 
         pref_ref[:] = incl[:, -1:]
         new_cum = cum[:, -1:]
@@ -468,6 +479,14 @@ def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
     def _():
         wait_read(j_exit, jax.lax.rem(j_exit, 2))
 
+    # drain outstanding grad writes (the last one or two chunks)
+    @pl.when(j_exit >= 2)
+    def _():
+        wait_write(j_exit - 2, jax.lax.rem(j_exit - 2, 2))
+    @pl.when(j_exit >= 1)
+    def _():
+        wait_write(j_exit - 1, jax.lax.rem(j_exit - 1, 2))
+
     # zero-fill the never-computed windows: post-latch instances have exactly
     # zero gradients, but their output slice must still be initialized (the
     # aliased zeros input only covers windows no tile ever touches... and the
@@ -475,12 +494,12 @@ def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
     # skipped write).
     @pl.when(j_exit < nchunks)
     def _():
-        dbuf[...] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
+        dbuf[0] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
 
         def zbody(j, _):
             off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
             zdma = pltpu.make_async_copy(
-                dbuf, dgrad_out.at[:, pl.ds(off, G_CHUNK)], wsem
+                dbuf.at[0], dgrad_out.at[:, pl.ds(off, G_CHUNK)], wsem.at[0]
             )
             zdma.start()
             zdma.wait()
@@ -513,9 +532,9 @@ def _backward_pallas(data, starts, stops, gacc, acdot, gend, tfin, *,
             pltpu.VMEM((2, DATA_ROWS, G_CHUNK), jnp.float32),  # buf x2
             pltpu.VMEM((N_PIX, 1), jnp.float32),  # cum
             pltpu.VMEM((N_PIX, 1), jnp.float32),  # prefix
-            pltpu.VMEM((DATA_ROWS, G_CHUNK), jnp.float32),  # dbuf
+            pltpu.VMEM((2, DATA_ROWS, G_CHUNK), jnp.float32),  # dbuf x2
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     zeros = jnp.zeros((DATA_ROWS, capacity), jnp.float32)
