@@ -37,11 +37,29 @@ def main():
         n_static=N_STATIC, n_dynamic=N_DYNAMIC, duration=10.0,
         static_capacity=N_STATIC, dynamic_capacity=N_DYNAMIC + 6384,
     )
+    # trained-scene splat sizes (make_scene's KNN init overshoots); also keeps
+    # every instance inside the binning capacity — the benchmark must not
+    # silently drop overflowed instances.
+    model = model._replace(params={
+        **model.params,
+        "scaling": jnp.minimum(model.params["scaling"], jnp.log(0.02)),
+    })
     cam = ring_cameras(1, 3.0, W, H, far=cfg.far)[0]
     gt = jnp.zeros((H, W, 3), jnp.float32)
 
     capacity = int(os.environ.get("BENCH_CAPACITY", 2 * 1024 * 1024))
     max_per_tile = int(os.environ.get("BENCH_MAX_PER_TILE", 1024))
+
+    from ex4dgs_tpu.rendering import render as _render
+
+    probe = _render(cam, model, cfg, t=jnp.asarray(1.0), bg=jnp.zeros(3),
+                    capacity=capacity, max_per_tile=max_per_tile)
+    total = int(probe.binning_total)
+    assert total <= capacity, (
+        f"bench scene overflows binning capacity ({total} > {capacity}); "
+        "raise BENCH_CAPACITY"
+    )
+    print(f"# instances per frame: {total} (capacity {capacity})")
 
     def loss_fn(params, t):
         m = model._replace(params=params)
