@@ -44,6 +44,8 @@ def render_set(
             model.static_capacity + model.dynamic_capacity,
             cams[0].width, cams[0].height,
         )
+    if max_per_tile is None:
+        max_per_tile = min(capacity, 4096)
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.white_background else [0.0, 0.0, 0.0])
 
     @jax.jit

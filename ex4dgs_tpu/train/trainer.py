@@ -105,7 +105,10 @@ class Trainer:
         h = cam0.height if cam0 else 128
         n_pts = model.static_capacity + model.dynamic_capacity
         self.capacity = capacity or default_capacity(n_pts, w, h)
-        self.max_per_tile = max_per_tile
+        # bound the portable path's per-tile sweep; the pallas path walks true
+        # per-tile lengths and ignores this
+        self.max_per_tile = max_per_tile if max_per_tile is not None else min(
+            self.capacity, 4096)
         self.backend = backend
         self.overflow_count = 0
         self.mesh = mesh
