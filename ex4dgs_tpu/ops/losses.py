@@ -10,6 +10,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -55,6 +56,66 @@ def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.nda
     return x[0]
 
 
+_C1 = 0.01**2
+_C2 = 0.03**2
+
+
+def _ssim_stats(img1, img2, window_size, sigma):
+    blur = lambda x: _depthwise_blur(x, window_size, sigma)
+    mu1 = blur(img1)
+    mu2 = blur(img2)
+    s11 = blur(img1 * img1)
+    s22 = blur(img2 * img2)
+    s12 = blur(img1 * img2)
+    return mu1, mu2, s11, s22, s12
+
+
+def _ssim_map_from_stats(mu1, mu2, s11, s22, s12):
+    a1 = 2 * mu1 * mu2 + _C1
+    a2 = 2 * (s12 - mu1 * mu2) + _C2
+    b1 = mu1 * mu1 + mu2 * mu2 + _C1
+    b2 = (s11 - mu1 * mu1) + (s22 - mu2 * mu2) + _C2
+    return (a1 * a2) / (b1 * b2), (a1, a2, b1, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _ssim_map(img1, img2, window_size, sigma):
+    mu1, mu2, s11, s22, s12 = _ssim_stats(img1, img2, window_size, sigma)
+    return _ssim_map_from_stats(mu1, mu2, s11, s22, s12)[0]
+
+
+def _ssim_map_fwd(img1, img2, window_size, sigma):
+    stats = _ssim_stats(img1, img2, window_size, sigma)
+    s, coefs = _ssim_map_from_stats(*stats)
+    return s, (img1, img2, stats, coefs, s)
+
+
+def _ssim_map_bwd(window_size, sigma, res, g):
+    """Closed-form windowed-SSIM gradient: 3 transposed blurs per input (the
+    Gaussian window is symmetric, so blur^T == blur) instead of autodiff's ~10.
+
+    With S = A1 A2 / (B1 B2): dS/dA1 = S/A1 etc.; the moment partials are
+    dA1/dmu1 = 2 mu2, dA2/dmu1 = -2 mu2, dB1/dmu1 = 2 mu1, dB2/dmu1 = -2 mu1,
+    dA2/ds12 = 2, dB2/ds11 = 1; and mu/s are window-blurs of x, x^2, xy."""
+    img1, img2, (mu1, mu2, s11, s22, s12), (a1, a2, b1, b2), s = res
+    blur = lambda x: _depthwise_blur(x, window_size, sigma)
+    gs = g * s
+    c_mu1 = 2 * gs * (mu2 / a1 - mu2 / a2 - mu1 / b1 + mu1 / b2)
+    c_mu2 = 2 * gs * (mu1 / a1 - mu1 / a2 - mu2 / b1 + mu2 / b2)
+    c_s11 = -gs / b2
+    c_s12 = 2 * gs / a2
+    b_mu1 = blur(c_mu1)
+    b_mu2 = blur(c_mu2)
+    b_s11 = blur(c_s11)
+    b_s12 = blur(c_s12)
+    d1 = b_mu1 + 2 * img1 * b_s11 + img2 * b_s12
+    d2 = b_mu2 + 2 * img2 * b_s11 + img1 * b_s12
+    return d1, d2
+
+
+_ssim_map.defvjp(_ssim_map_fwd, _ssim_map_bwd)
+
+
 def ssim(
     img1: jnp.ndarray,
     img2: jnp.ndarray,
@@ -63,20 +124,7 @@ def ssim(
     reduce: bool = True,
 ) -> jnp.ndarray:
     """SSIM of [H, W, C] images; reduce=False returns the per-pixel map [H, W, C]."""
-    blur = lambda x: _depthwise_blur(x, window_size, sigma)
-    mu1 = blur(img1)
-    mu2 = blur(img2)
-    mu1_sq = mu1 * mu1
-    mu2_sq = mu2 * mu2
-    mu1_mu2 = mu1 * mu2
-    sigma1_sq = blur(img1 * img1) - mu1_sq
-    sigma2_sq = blur(img2 * img2) - mu2_sq
-    sigma12 = blur(img1 * img2) - mu1_mu2
-    c1 = 0.01**2
-    c2 = 0.03**2
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
-        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
-    )
+    ssim_map = _ssim_map(img1, img2, window_size, sigma)
     return ssim_map.mean() if reduce else ssim_map
 
 

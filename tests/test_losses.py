@@ -52,3 +52,36 @@ def test_psnr_l1():
     mse = np.mean((a - b) ** 2)
     np.testing.assert_allclose(float(losses.psnr(a, b)), 20 * np.log10(1 / np.sqrt(mse)), rtol=1e-5)
     np.testing.assert_allclose(float(losses.l1_loss(a, b)), np.abs(a - b).mean(), rtol=1e-6)
+
+
+def test_ssim_custom_vjp_matches_autodiff():
+    """The closed-form SSIM backward must equal autodiff through the blurs."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    a = rng.uniform(size=(40, 56, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.15, size=a.shape), 0, 1).astype(np.float32)
+    w = rng.normal(size=(40, 56, 3)).astype(np.float32)  # random cotangent
+
+    def naive(img1, img2):
+        blur = lambda x: losses._depthwise_blur(x, 11, 1.5)
+        mu1, mu2 = blur(img1), blur(img2)
+        s11 = blur(img1 * img1) - mu1 * mu1
+        s22 = blur(img2 * img2) - mu2 * mu2
+        s12 = blur(img1 * img2) - mu1 * mu2
+        c1, c2 = 0.01**2, 0.03**2
+        m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+            (mu1 * mu1 + mu2 * mu2 + c1) * (s11 + s22 + c2))
+        return (m * w).sum()
+
+    def ours(img1, img2):
+        return (losses.ssim(img1, img2, reduce=False) * w).sum()
+
+    # forward values agree
+    np.testing.assert_allclose(float(ours(a, b)), float(naive(a, b)), rtol=1e-5)
+    g_ref = jax.grad(naive, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
+    g_our = jax.grad(ours, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
+    for x, y, name in zip(g_our, g_ref, ("img1", "img2")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4,
+                                   rtol=1e-3, err_msg=name)
