@@ -36,6 +36,7 @@ class ShardedStepOutputs(NamedTuple):
     opt_state: RAdamState
     loss: jnp.ndarray  # [] mean over data shards
     psnr: jnp.ndarray
+    binning_total: jnp.ndarray  # [] int32 max true instance count over shards
 
 
 def _sliced_loss(params, mean2d_offset, flow_dirs, model, cam: RenderCamera,
@@ -136,6 +137,16 @@ def make_sharded_train_step(statics: StepStatics, mesh: Mesh):
         loss_mean = jax.lax.pmean(loss_display, "data")
         psnr_mean = jax.lax.pmean(psnr(res.render, gt), "data")
 
+        # Overflow gate: binning runs on the all-gathered whole, so the total
+        # is identical across gauss shards; take the max over data shards so
+        # every device agrees on whether ANY camera overflowed its instance
+        # buffer. On overflow the whole update is a no-op (see train/step.py).
+        binning_total = jax.lax.pmax(
+            jax.lax.pmax(res.binning_total, "data"), "gauss"
+        )
+        ok = binning_total <= statics.capacity
+        old_model, old_opt_state = model, opt_state
+
         pgrads = scrub_nan(mask_grads(pgrads, model))
         lrs = group_lrs(statics.opt, statics.spatial_lr_scale, iteration)
         new_params, new_opt_state = radam_update(model.params, pgrads, opt_state, lrs)
@@ -162,8 +173,15 @@ def make_sharded_train_step(statics: StepStatics, mesh: Mesh):
                 statics.opt,
             )
 
+        sel = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), new, old
+        )
         return ShardedStepOutputs(
-            model=model, opt_state=new_opt_state, loss=loss_mean, psnr=psnr_mean
+            model=sel(model, old_model),
+            opt_state=sel(new_opt_state, old_opt_state),
+            loss=loss_mean,
+            psnr=psnr_mean,
+            binning_total=binning_total,
         )
 
     replicated = P()

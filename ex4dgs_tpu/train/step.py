@@ -228,15 +228,28 @@ def train_step(
     pgrads = scrub_nan(mask_grads(pgrads, model))
     lrs = group_lrs(statics.opt, statics.spatial_lr_scale, iteration)
     new_params, new_opt_state = radam_update(model.params, pgrads, opt_state, lrs)
-    model = model._replace(params=new_params)
+    new_model = model._replace(params=new_params)
 
-    model = _update_stat_accumulators(
-        model, res, m2d_grad, flow_grad, t, iteration, statics.opt
+    new_model = _update_stat_accumulators(
+        new_model, res, m2d_grad, flow_grad, t, iteration, statics.opt
     )
 
+    # Binning overflow => the image/gradient were computed from a truncated
+    # instance list (ops/binning.py drops slots beyond capacity). The reference
+    # never trains on truncated lists (it sizes buffers to the true
+    # num_rendered, rasterizer_impl.cu:298-299), so make the whole update a
+    # no-op; the trainer detects `binning_total > capacity`, grows capacity,
+    # and re-runs the same camera.
+    ok = res.binning_total <= statics.capacity
+    sel = lambda new, old: jax.tree.map(
+        lambda a, b: jnp.where(ok, a, b), new, old
+    )
+    out_model = sel(new_model, model)
+    out_opt_state = sel(new_opt_state, opt_state)
+
     return StepOutputs(
-        model=model,
-        opt_state=new_opt_state,
+        model=out_model,
+        opt_state=out_opt_state,
         loss=loss,
         ll1=ll1,
         psnr=psnr(res.render, gt),

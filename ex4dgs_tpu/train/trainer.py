@@ -213,7 +213,6 @@ class Trainer:
                 else bg_const
             )
 
-            statics = self._statics()
             if self.mesh is not None:
                 data_size = self.mesh.shape["data"]
                 batch = [(cam, gt)]
@@ -224,43 +223,50 @@ class Trainer:
                         cam_iter = None
                 while len(batch) < data_size:
                     batch.append(batch[-1])  # epoch boundary: pad with repeats
-                step = self._get_sharded_step(statics)
                 cams_b = jax.tree.map(
                     lambda *xs: jnp.stack(xs),
                     *[c.render_camera() for c, _ in batch],
                 )
                 gts = jnp.stack([jnp.asarray(g) for _, g in batch])
                 ts = jnp.asarray([c.timestamp for c, _ in batch], jnp.float32)
-                out = step(self.model, self.opt_state, cams_b, gts, ts, bg,
-                           jnp.asarray(it, jnp.int32))
-                self.model, self.opt_state = out.model, out.opt_state
-                loss = float(out.loss)
+
+                def run(statics):
+                    step = self._get_sharded_step(statics)
+                    return step(self.model, self.opt_state, cams_b, gts, ts,
+                                bg, jnp.asarray(it, jnp.int32))
+            else:
+                cam_dev = cam.render_camera()
+                gt_dev = jnp.asarray(gt)
+                t_dev = jnp.asarray(cam.timestamp, jnp.float32)
+
+                def run(statics):
+                    return train_step(
+                        self.model, self.opt_state, cam_dev, gt_dev, t_dev,
+                        bg, jnp.asarray(it, jnp.int32), statics,
+                    )
+
+            # An overflowing step is a no-op on-device (train/step.py gates
+            # the update on binning_total <= capacity), so grow capacity and
+            # re-run the same camera(s) — the reference never trains on a
+            # truncated instance list (rasterizer_impl.cu:298-299).
+            for _attempt in range(4):
+                out = run(self._statics())
+                total = int(out.binning_total)
+                if total <= self.capacity:
+                    break
+                self.overflow_count += 1
+                self.capacity = round_capacity(total * 5 // 4, 65536)
+
+            self.model, self.opt_state = out.model, out.opt_state
+            loss = float(out.loss)
+            self.last_cam = cam
+            if self.mesh is not None:
                 for c, _ in batch:
                     self.error_tracker.mark(loss, c.timestamp)
                 self.last_vis = None  # per-camera visibility folded into stats
-                self.last_cam = cam
             else:
-                out: StepOutputs = train_step(
-                    self.model,
-                    self.opt_state,
-                    cam.render_camera(),
-                    jnp.asarray(gt),
-                    jnp.asarray(cam.timestamp, jnp.float32),
-                    bg,
-                    jnp.asarray(it, jnp.int32),
-                    statics,
-                )
-                self.model, self.opt_state = out.model, out.opt_state
-                loss = float(out.loss)
                 self.error_tracker.mark(loss, cam.timestamp)
                 self.last_vis = np.asarray(out.visibility)
-                self.last_cam = cam
-
-                if int(out.binning_total) > self.capacity:
-                    self.overflow_count += 1
-                    self.capacity = round_capacity(
-                        int(out.binning_total) * 5 // 4, 65536
-                    )
 
             metrics["loss"].append(loss)
             metrics["psnr"].append(float(out.psnr))

@@ -2,6 +2,7 @@
 synthetic scene, and the gradient side-channels accumulate sane statistics."""
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,6 +70,35 @@ def test_train_step_learns():
     # params stay finite
     for k, v in model.params.items():
         assert bool(jnp.isfinite(v).all()), k
+
+
+def test_train_step_overflow_is_noop():
+    """A step whose binning overflows capacity must not apply any update —
+    the reference never trains on a truncated instance list (it sizes buffers
+    to the true num_rendered, rasterizer_impl.cu:298-299)."""
+    cfg, model, cam = _scene()
+    opt = OptimizationConfig(static_reg=0.0)
+    tiny = StepStatics(cfg=cfg, opt=opt, spatial_lr_scale=1.0, capacity=128,
+                       chunk=64, max_per_tile=512)
+    gt = jnp.zeros((H, W, 3))
+    state = init_state(model.params)
+    out = train_step(model, state, cam, gt, jnp.asarray(1.0), jnp.zeros(3),
+                     jnp.asarray(1, jnp.int32), tiny)
+    assert int(out.binning_total) > tiny.capacity, "scene must overflow"
+    for k in model.params:
+        assert bool(jnp.array_equal(out.model.params[k], model.params[k])), k
+    for a, b in zip(jax.tree.leaves(out.opt_state), jax.tree.leaves(state)):
+        assert bool(jnp.array_equal(a, b))
+    for k in model.stats:
+        assert bool(jnp.array_equal(out.model.stats[k], model.stats[k])), k
+
+    # At sufficient capacity the same inputs DO update.
+    big = StepStatics(cfg=cfg, opt=opt, spatial_lr_scale=1.0, capacity=8192,
+                      chunk=64, max_per_tile=512)
+    out2 = train_step(model, state, cam, gt, jnp.asarray(1.0), jnp.zeros(3),
+                      jnp.asarray(1, jnp.int32), big)
+    assert int(out2.binning_total) <= big.capacity
+    assert not bool(jnp.array_equal(out2.model.params["xyz"], model.params["xyz"]))
 
 
 def test_train_step_with_dynamic_points():

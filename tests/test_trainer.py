@@ -78,6 +78,33 @@ def test_trainer_runs_schedule(disk_scene, tmp_path):
     assert np.isfinite(np.asarray(m2["loss"])).all()
 
 
+def test_trainer_overflow_retry(disk_scene):
+    """Starting from an undersized instance buffer, the trainer must detect
+    the overflow, grow capacity, and re-run the same camera so no truncated
+    update is ever applied."""
+    cfg = ModelConfig(
+        source_path=disk_scene, loader="neural3dvideo", resolution=8,
+        duration=-1, time_interval=2, time_pad=1, start_duration=2,
+        near=0.05, far=50.0,
+    )
+    opt = OptimizationConfig(
+        iterations=3, densification_interval=1000, densify_from_iter=1000,
+        extract_from_iter=1000, densify_until_iter=1000,
+        progressive_growing_steps=1000, prune_invisible_interval=100000,
+        random_background=False,
+    )
+    scene = Scene(cfg, scene_info=read_n3v_scene(disk_scene, cfg))
+    trainer = Trainer(cfg, opt, scene, capacity=256, max_per_tile=256)
+    metrics = trainer.train(iterations=3)
+    assert trainer.overflow_count >= 1
+    assert trainer.capacity > 256  # grew to fit the true instance count
+    losses = np.asarray(metrics["loss"])
+    assert np.isfinite(losses).all()
+    # the applied steps were all full-capacity ones (params moved and finite)
+    for k, v in trainer.model.params.items():
+        assert bool(np.isfinite(np.asarray(v)).all()), k
+
+
 def test_trainer_sharded_mesh(disk_scene):
     """Trainer with a (data=2, gauss=2) mesh: the SPMD path trains and stays
     finite; schedule events interleave with sharded steps."""
