@@ -77,6 +77,14 @@ def save_model_ply(hm: HostModel, path: str) -> None:
         for d in range(4):
             dcols[f"motion_rot_{k}_{d}"] = mr[:, idx]
             idx += 1
+    if "motion_xyz_d" in p:
+        # extension columns (cubic_diff tangents) — absent in reference PLYs
+        md = p["motion_xyz_d"].reshape(nd, kf * 3)
+        idx = 0
+        for k in range(kf):
+            for d in range(3):
+                dcols[f"motion_xyz_d_{k}_{d}"] = md[:, idx]
+                idx += 1
     write_ply(path.replace("point_cloud.ply", "dynamic_point_cloud.ply"), dcols)
 
 
@@ -135,6 +143,8 @@ def load_model_ply(path: str, cfg: ModelConfig, duration: float) -> HostModel:
             "motion_opacity_var": dgrab("motion_opacity_v", 2).astype(np.float32),
             "motion_rotation": dgrab2("motion_rot", keyframe_num, 4),
         })
+        if any(c.startswith("motion_xyz_d_") for c in dv.dtype.names):
+            params["motion_xyz_d"] = dgrab2("motion_xyz_d", keyframe_num, 3)
     else:
         nd = 0
         params.update({

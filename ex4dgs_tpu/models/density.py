@@ -31,6 +31,7 @@ from .optimizer import RAdamState
 from .state import (
     DYNAMIC_KEYS,
     DYNAMIC_STAT_KEYS,
+    KEYFRAME_KEYS,
     STATIC_KEYS,
     STATIC_STAT_KEYS,
     GaussianModel,
@@ -72,7 +73,7 @@ def pull(model: GaussianModel, opt_state: RAdamState) -> HostModel:
         out = np.asarray(v)[dm if k.startswith("motion_") else sm]
         # Active keyframes only — the reference's arrays are exactly
         # keyframe_num wide; the padded capacity is a device-side detail.
-        if k in ("motion_xyz", "motion_rotation"):
+        if k in KEYFRAME_KEYS:
             out = out[:, :kn]
         return out
 
@@ -109,27 +110,30 @@ def push(
     )
     kc = keyframe_capacity or max(hm.keyframe_num, hm.params["motion_xyz"].shape[1])
 
+    tangents = cfg.interp_type == "cubic_diff" or "motion_xyz_d" in hm.params
     base = _empty_static(sc, cfg.sh_degree)
-    base.update(_empty_dynamic(dc, kc, cfg.sh_degree))
+    base.update(_empty_dynamic(dc, kc, cfg.sh_degree, tangents=tangents))
     params, mu, nu = {}, {}, {}
     for k, empty in base.items():
         n = nd if k.startswith("motion_") else ns
         arr = np.array(empty)  # mutable copy
-        v = hm.params[k]
-        if k in ("motion_xyz", "motion_rotation") and v.shape[0] > 0:
-            kf = min(v.shape[1], kc)
-            arr[:n, :kf] = v[:, :kf]
-        else:
-            arr[:n] = v
+        v = hm.params.get(k)  # absent => stays empty (e.g. tangents added now)
+        if v is not None:
+            if k in KEYFRAME_KEYS and v.shape[0] > 0:
+                kf = min(v.shape[1], kc)
+                arr[:n, :kf] = v[:, :kf]
+            else:
+                arr[:n] = v
         params[k] = jnp.asarray(arr)
         for src, dst in ((hm.mu, mu), (hm.nu, nu)):
             a = np.zeros_like(arr)
-            w = src[k]
-            if k in ("motion_xyz", "motion_rotation") and w.shape[0] > 0:
-                kf = min(w.shape[1], kc)
-                a[:n, :kf] = w[:, :kf]
-            else:
-                a[:n] = w
+            w = src.get(k)
+            if w is not None:
+                if k in KEYFRAME_KEYS and w.shape[0] > 0:
+                    kf = min(w.shape[1], kc)
+                    a[:n, :kf] = w[:, :kf]
+                else:
+                    a[:n] = w
             dst[k] = jnp.asarray(a)
 
     stats = {k: np.array(v) for k, v in _init_stats(sc, dc).items()}
@@ -277,7 +281,8 @@ def densify_and_prune(
     new_d = None
     if hm.n_dynamic:
         cd = (np.abs(d_grads) >= opt.densify_dgrad_threshold) & (d_scale <= pd_ext)
-        new_d = {k: hm.params[k][cd].copy() for k in DYNAMIC_KEYS}
+        new_d = {k: hm.params[k][cd].copy() for k in hm.params
+                 if k.startswith("motion_")}
         c = new_d["motion_opacity_center"]
         ln = np.maximum(np.abs(c[:, 1] - c[:, 0]) / 3.0, 2.0 / interval)
         c[:, 1] = c[:, 1] + ln * rng.standard_normal(c.shape[0]).astype(np.float32)
@@ -346,8 +351,12 @@ def densify_and_prune(
                 np.repeat(np.exp(hm.params["motion_scaling"][sd]), N, axis=0) / (0.8 * N)
             ),
         }
-        for k in ("motion_rotation", "motion_f_dc", "motion_f_rest", "motion_opacity"):
-            new_d[k] = np.repeat(hm.params[k][sd], N, axis=0)
+        for k in hm.params:
+            if k.startswith("motion_") and k not in (
+                "motion_xyz", "motion_scaling",
+                "motion_opacity_center", "motion_opacity_var",
+            ):
+                new_d[k] = np.repeat(hm.params[k][sd], N, axis=0)
         c = np.repeat(hm.params["motion_opacity_center"][sd], N, axis=0).copy()
         ln = np.maximum(np.abs(c[:, 1] - c[:, 0]) / 3.0, 2.0 / interval)
         c[:, 1] = c[:, 1] + ln * rng.standard_normal(c.shape[0]).astype(np.float32)
@@ -533,8 +542,16 @@ def extract_dynamic_from_static(
             hm.params["rotation"][conv][:, None, :], kf, axis=1
         ),
     }
+    if "motion_xyz_d" in hm.params:
+        # Seed cubic_diff tangents with the linear trajectory's per-keyframe
+        # delta (the Hermite tangent that exactly reproduces the seed line).
+        new_d["motion_xyz_d"] = np.repeat(
+            ((end - start) / kf)[:, None, :], kf, axis=1
+        ).astype(np.float32)
     # Ensure existing dynamic arrays have kf keyframes (pad by edge values).
-    for k in ("motion_xyz", "motion_rotation"):
+    for k in KEYFRAME_KEYS:
+        if k not in hm.params:
+            continue
         cur = hm.params[k]
         if cur.shape[1] < kf:
             padw = kf - cur.shape[1]
@@ -596,6 +613,10 @@ def expand_duration(hm: HostModel, cfg: ModelConfig, duration: float) -> bool:
 
     new_xyz = lin_interp_last(hm.params["motion_xyz"])
     new_rot = lin_interp_last(hm.params["motion_rotation"])
+    new_xyz_d = (
+        lin_interp_last(hm.params["motion_xyz_d"])
+        if "motion_xyz_d" in hm.params else None
+    )
 
     var = hm.params["motion_opacity_var"].copy()
     cond = (
@@ -614,6 +635,10 @@ def expand_duration(hm: HostModel, cfg: ModelConfig, duration: float) -> bool:
     for st in (hm.mu, hm.nu):
         st["motion_xyz"] = np.zeros_like(new_xyz)
         st["motion_rotation"] = np.zeros_like(new_rot)
+    if new_xyz_d is not None:
+        hm.params["motion_xyz_d"] = new_xyz_d
+        for st in (hm.mu, hm.nu):
+            st["motion_xyz_d"] = np.zeros_like(new_xyz_d)
     _replace_param(hm, {"motion_opacity_center": center, "motion_opacity_var": var})
     hm.keyframe_num = require
     hm.duration = duration

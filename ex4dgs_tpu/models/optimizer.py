@@ -81,6 +81,15 @@ def group_lrs(opt: OptimizationConfig, spatial_lr_scale: float, iteration) -> di
             lr_delay_mult=opt.dynamic_position_lr_delay_mult,
             max_steps=opt.dynamic_position_lr_max_steps,
         ),
+        # cubic_diff tangent keyframes follow the motion_xyz schedule (the
+        # reference defines no group for them — its cubic_diff is untrainable)
+        "motion_xyz_d": expon_lr(
+            iteration,
+            opt.dynamic_position_lr_init * spatial_lr_scale,
+            opt.dynamic_position_lr_final * spatial_lr_scale,
+            lr_delay_mult=opt.dynamic_position_lr_delay_mult,
+            max_steps=opt.dynamic_position_lr_max_steps,
+        ),
         "motion_f_dc": opt.feature_motion_lr,
         "motion_f_rest": opt.feature_motion_lr / 20.0,
         "motion_scaling": opt.scaling_lr,

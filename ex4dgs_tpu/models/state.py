@@ -34,6 +34,10 @@ DYNAMIC_KEYS = (
     "motion_opacity_var",
     "motion_rotation",
 )
+# Parameters with a keyframe axis [P, K, ...]; "motion_xyz_d" (explicit
+# Hermite tangents for interp_type="cubic_diff") exists only when the config
+# selects that interpolator.
+KEYFRAME_KEYS = ("motion_xyz", "motion_rotation", "motion_xyz_d")
 STATIC_STAT_KEYS = (
     "max_radii2D",
     "min_radii2D",
@@ -118,9 +122,10 @@ def _empty_static(cap: int, sh_degree: int) -> dict:
     }
 
 
-def _empty_dynamic(cap: int, kf_cap: int, sh_degree: int) -> dict:
+def _empty_dynamic(cap: int, kf_cap: int, sh_degree: int,
+                   tangents: bool = False) -> dict:
     f_rest = (sh_degree + 1) ** 2 - 1
-    return {
+    out = {
         "motion_xyz": jnp.zeros((cap, kf_cap, 3), jnp.float32),
         "motion_f_dc": jnp.zeros((cap, 1, 3), jnp.float32),
         "motion_f_rest": jnp.zeros((cap, f_rest, 3), jnp.float32),
@@ -132,6 +137,9 @@ def _empty_dynamic(cap: int, kf_cap: int, sh_degree: int) -> dict:
             jnp.array([1.0, 0, 0, 0], jnp.float32)[None, None], (cap, kf_cap, 1)
         ),
     }
+    if tangents:
+        out["motion_xyz_d"] = jnp.zeros((cap, kf_cap, 3), jnp.float32)
+    return out
 
 
 def _init_stats(static_cap: int, dynamic_cap: int) -> dict:
@@ -161,7 +169,8 @@ def empty_model(
         max_dur = cfg.duration if cfg.duration > 0 else dur
         keyframe_capacity = required_keyframes(max_dur, cfg) + 2
     params = _empty_static(static_capacity, cfg.sh_degree)
-    params.update(_empty_dynamic(dynamic_capacity, keyframe_capacity, cfg.sh_degree))
+    params.update(_empty_dynamic(dynamic_capacity, keyframe_capacity, cfg.sh_degree,
+                                 tangents=cfg.interp_type == "cubic_diff"))
     return GaussianModel(
         params=params,
         static_mask=jnp.zeros((static_capacity,), bool),

@@ -49,7 +49,8 @@ def static_xyz_at_t(model: GaussianModel, t) -> jnp.ndarray:
 def dynamic_xyz_at_t(model: GaussianModel, cfg: ModelConfig, t) -> jnp.ndarray:
     k, dt = _keyframe_coords(t, cfg)
     return interp.interp_keyframes(
-        _interp_kind(cfg.interp_type), model.params["motion_xyz"], k, dt
+        _interp_kind(cfg.interp_type), model.params["motion_xyz"], k, dt,
+        y_d=model.params.get("motion_xyz_d"),
     )
 
 

@@ -96,11 +96,15 @@ def gather_keyframes(y: jnp.ndarray, k, offsets: tuple[int, ...]):
     return tuple(jnp.take(y, k + o, axis=1) for o in offsets)
 
 
-def interp_keyframes(kind: str, y: jnp.ndarray, k, dt) -> jnp.ndarray:
+def interp_keyframes(kind: str, y: jnp.ndarray, k, dt,
+                     y_d: jnp.ndarray | None = None) -> jnp.ndarray:
     """Dispatch positional interpolation over keyframe axis 1 of y [P, K, D].
 
-    kind: 'linear' | 'cube' | 'pchip'. ('cubic_diff' needs a separate tangent
-    array; see the model layer.) k/dt from keyframe_coords.
+    kind: 'linear' | 'cube' | 'pchip' | 'cubic_diff'. For 'cubic_diff' a
+    tangent keyframe array `y_d` of the same shape as `y` must be supplied
+    (the reference's quad_diff_interpolate, interpolations.py:97-107, whose
+    dispatch at c_gaussian_model.py:125-132 expects a separate y_d tensor).
+    k/dt from keyframe_coords.
     """
     if kind == "linear":
         y0, y1 = gather_keyframes(y, k, (0, 1))
@@ -111,6 +115,12 @@ def interp_keyframes(kind: str, y: jnp.ndarray, k, dt) -> jnp.ndarray:
     if kind == "pchip":
         ym1, y0, y1, y2 = gather_keyframes(y, k, (-1, 0, 1, 2))
         return pchip_interp(ym1, y0, y1, y2, dt)
+    if kind == "cubic_diff":
+        if y_d is None:
+            raise ValueError("cubic_diff needs a tangent array y_d")
+        y0, y1 = gather_keyframes(y, k, (0, 1))
+        yd0, yd1 = gather_keyframes(y_d, k, (0, 1))
+        return cubic_diff_interp(y0, y1, yd0, yd1, dt)
     raise NotImplementedError(f"unknown interp kind: {kind}")
 
 

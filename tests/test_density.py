@@ -130,6 +130,70 @@ def test_expand_duration_extrapolates():
     assert np.abs(hm.mu["motion_xyz"]).max() == 0.0
 
 
+def test_cubic_diff_lifecycle():
+    """interp_type='cubic_diff': the motion_xyz_d tangent array is created,
+    tracks keyframe surgery (extract/expand/clone/push), and the temporal
+    query with the seeded tangents reproduces the displacement line."""
+    rng = np.random.default_rng(3)
+    cfg = ModelConfig(time_interval=5, time_pad=3, start_duration=5,
+                      duration=20, interp_type="cubic_diff")
+    model = create_from_pcd(
+        rng.normal(size=(50, 3)).astype(np.float32),
+        rng.uniform(size=(50, 3)).astype(np.float32),
+        cfg, duration=5.0, static_capacity=64,
+    )
+    assert "motion_xyz_d" in model.params
+    hm = D.pull(model, init_state(model.params))
+    hm.params["xyz_disp"][:5] = 3.0
+    hm.stats["xyz_error_min_timestamp"][:] = 2.0
+    n = D.extract_dynamic_from_static(
+        hm, cfg, np.zeros(3, np.float32), 2.0, np.ones(hm.n_static, bool),
+        extent=5.0, percentile=0.9, max_dur=10.0,
+    )
+    assert n >= 5
+    assert hm.params["motion_xyz_d"].shape == hm.params["motion_xyz"].shape
+
+    assert D.expand_duration(hm, cfg, 20.0)
+    assert hm.params["motion_xyz_d"].shape == hm.params["motion_xyz"].shape
+
+    model2, state2 = D.push(hm, cfg)
+    assert model2.params["motion_xyz_d"].shape == model2.params["motion_xyz"].shape
+
+    # The seeded tangents make the Hermite exactly reproduce the linear
+    # trajectory: query two timestamps and check collinearity with keyframes.
+    from ex4dgs_tpu.models.temporal import dynamic_xyz_at_t
+
+    xa = np.asarray(dynamic_xyz_at_t(model2, cfg, jnp.float32(2.0)))[:n]
+    xb = np.asarray(dynamic_xyz_at_t(model2, cfg, jnp.float32(4.5)))[:n]
+    kf = np.asarray(model2.params["motion_xyz"][:n])
+    # direction between queries matches the keyframe line direction
+    d_q = xb - xa
+    d_k = kf[:, 3] - kf[:, 2]
+    cos = (d_q * d_k).sum(-1) / (
+        np.linalg.norm(d_q, axis=-1) * np.linalg.norm(d_k, axis=-1) + 1e-9
+    )
+    np.testing.assert_allclose(cos, 1.0, atol=1e-3)
+
+    # one jitted train step stays finite and moves the tangents' moments
+    from ex4dgs_tpu.train.step import StepStatics, train_step
+    from ex4dgs_tpu.rendering import RenderCamera
+    from ex4dgs_tpu.ops.math3d import projection_matrix, world_to_view
+    import math
+
+    view = world_to_view(np.eye(3), np.array([0, 0, 4.0], np.float32))
+    fov = math.radians(60)
+    P = projection_matrix(0.2, 50.0, fov, fov)
+    cam = RenderCamera.from_fov(view, P @ view, np.linalg.inv(view)[:3, 3],
+                                64, 48, fov, fov)
+    statics = StepStatics(cfg=cfg, opt=OptimizationConfig(), spatial_lr_scale=1.0,
+                          capacity=8192, chunk=64, max_per_tile=512)
+    out = train_step(model2, state2, cam, jnp.zeros((48, 64, 3)),
+                     jnp.float32(2.0), jnp.zeros(3),
+                     jnp.asarray(1, jnp.int32), statics)
+    assert np.isfinite(float(out.loss))
+    assert bool(jnp.isfinite(out.model.params["motion_xyz_d"]).all())
+
+
 def test_adjust_temp_opa():
     cfg, hm = _host()
     hm.params["xyz_disp"][:5] = 3.0

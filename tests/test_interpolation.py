@@ -35,6 +35,36 @@ def test_pchip_monotone_flat():
         assert 1.0 - 1e-5 <= v <= 2.0 + 1e-5
 
 
+def test_cubic_diff_matches_reference_formula():
+    """interp_keyframes('cubic_diff') == the reference quad_diff_interpolate
+    (utils/interpolations.py:97-107): Hermite with explicit tangents."""
+    rng = np.random.default_rng(7)
+    P, K, D = 5, 6, 3
+    y = rng.normal(size=(P, K, D)).astype(np.float32)
+    yd = rng.normal(size=(P, K, D)).astype(np.float32)
+
+    def ref(y1, y2, m1, m2, t):  # re-typed reference hermite basis
+        h00 = 2 * t**3 - 3 * t**2 + 1
+        h10 = t**3 - 2 * t**2 + t
+        h01 = -2 * t**3 + 3 * t**2
+        h11 = t**3 - t**2
+        return h00 * y1 + h10 * m1 + h01 * y2 + h11 * m2
+
+    for k in (0, 2, 4):
+        for dt in (0.0, 0.25, 0.8, 1.0):
+            got = np.asarray(itp.interp_keyframes(
+                "cubic_diff", jnp.asarray(y), jnp.asarray(k), jnp.float32(dt),
+                y_d=jnp.asarray(yd),
+            ))
+            want = ref(y[:, k], y[:, k + 1], yd[:, k], yd[:, k + 1], dt)
+            np.testing.assert_allclose(got, want, atol=1e-6)
+    # endpoint interpolation passes through the keyframes
+    got0 = np.asarray(itp.interp_keyframes(
+        "cubic_diff", jnp.asarray(y), jnp.asarray(1), jnp.float32(0.0),
+        y_d=jnp.asarray(yd)))
+    np.testing.assert_allclose(got0, y[:, 1], atol=1e-6)
+
+
 def test_slerp_endpoints_and_midpoint():
     q0 = jnp.array([[1.0, 0.0, 0.0, 0.0]])
     theta = np.pi / 2
