@@ -34,6 +34,9 @@ def render_set(
     save_images: bool = False,
     measure_fps: bool = True,
     lpips_nets: tuple = ("alex", "vgg"),
+    fps_rounds: int = 20,
+    fps_inner: int = 500,
+    fps_warmup: int = 100,
 ) -> dict:
     cams = (scene.sampled_test_cameras() if split == "test"
             else scene.sampled_train_cameras())
@@ -69,7 +72,7 @@ def render_set(
             "timestamp": cam.timestamp,
             "psnr": M.psnr(img, gt),
             "ssim": M.ssim(img, gt),
-            "ssim_sk": M.ssim_skimage_style(img, gt),
+            "ssim_sk": M.ssim_skimage(img, gt),
         }
         for n, fn in lpips.items():
             row[f"lpips_{n}"] = fn(img, gt)
@@ -91,16 +94,16 @@ def render_set(
     if measure_fps:
         cam = cams[0].render_camera()
         t = jnp.asarray(cams[0].timestamp, jnp.float32)
-        for _ in range(100):  # warmup (render.py:92)
+        for _ in range(fps_warmup):  # warmup (render.py:92)
             out = render_one(model, cam, t)
         jax.block_until_ready(out)
         times = []
-        for _ in range(20):
+        for _ in range(fps_rounds):  # 20 x 500 re-renders (render.py:91-96)
             t0 = time.perf_counter()
-            for _ in range(25):
+            for _ in range(fps_inner):
                 out = render_one(model, cam, t)
             jax.block_until_ready(out)
-            times.append((time.perf_counter() - t0) / 25)
+            times.append((time.perf_counter() - t0) / fps_inner)
         result["render_time_s"] = float(np.mean(times))
         result["fps"] = float(1.0 / np.mean(times))
         result["mpixels_per_s"] = float(cams[0].width * cams[0].height

@@ -418,13 +418,17 @@ class Trainer:
         cams = self.scene.sampled_test_cameras()[:max_frames]
         if not cams:
             return {"n_frames": 0}
+        # same background as training (training_report uses the configured bg)
+        bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if self.cfg.white_background else [0.0, 0.0, 0.0]
+        )
         vals = []
         for cam, gt in self.prefetcher.epoch(cams, shuffle=False):
             from ..rendering import render
 
             img = render(cam.render_camera(), self.model, self.cfg,
                          t=jnp.asarray(cam.timestamp, jnp.float32),
-                         bg=jnp.zeros(3), capacity=self.capacity,
+                         bg=bg, capacity=self.capacity,
                          max_per_tile=self.max_per_tile).render
             vals.append(float(psnr_fn(jnp.clip(img, 0, 1), jnp.asarray(gt))))
         return {"n_frames": len(vals), "psnr": float(np.mean(vals))}

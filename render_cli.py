@@ -18,6 +18,8 @@ def main(argv=None):
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--save_images", action="store_true")
+    parser.add_argument("--fps_inner", type=int, default=500,
+                        help="re-renders per timing round (reference: 500)")
     args = parser.parse_args(argv)
 
     from ex4dgs_tpu.models.config import ModelConfig, OptimizationConfig, overlay_json
@@ -63,7 +65,8 @@ def main(argv=None):
         out_dir = os.path.join(args.model_path, split, f"ours_{it}")
         results[split] = render_set(model, cfg, scene, split, out_dir,
                                     save_images=args.save_images,
-                                    measure_fps=(split == "test"))
+                                    measure_fps=(split == "test"),
+                                    fps_inner=args.fps_inner)
         print(split, json.dumps(results[split], indent=1), flush=True)
     return results
 

@@ -43,7 +43,8 @@ def test_train_cli_and_render_cli(scene_root, tmp_path):
         os.path.join(model_path, "point_cloud", "iteration_30", "point_cloud.ply")
     )
 
-    results = render_cli.main(["--model_path", model_path, "--skip_train"])
+    results = render_cli.main(["--model_path", model_path, "--skip_train",
+                               "--fps_inner", "10"])
     test_res = results["test"]
     assert test_res["n_frames"] > 0
     assert "psnr" in test_res and np.isfinite(test_res["psnr"])

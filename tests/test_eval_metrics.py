@@ -1,0 +1,166 @@
+"""Offline eval metrics: skimage-style SSIM vs a brute-force windowed
+computation, and the JAX LPIPS pipeline vs a hand-rolled numpy reference."""
+import numpy as np
+import pytest
+
+from ex4dgs_tpu.eval import metrics as M
+
+
+def _brute_force_skimage_ssim(X, Y, data_range=1.0):
+    """Direct per-window evaluation of skimage.structural_similarity's
+    gaussian_weights=True formula: weighted moments, sample covariance
+    NP/(NP-1), valid-region mean."""
+    sigma, truncate = 1.5, 3.5
+    r = int(truncate * sigma + 0.5)
+    win = 2 * r + 1
+    ax = np.arange(-r, r + 1)
+    g1 = np.exp(-(ax**2) / (2 * sigma**2))
+    w = np.outer(g1, g1)
+    w /= w.sum()
+    NP = win * win
+    cov_norm = NP / (NP - 1.0)
+    C1 = (0.01 * data_range) ** 2
+    C2 = (0.03 * data_range) ** 2
+    H, W = X.shape
+    vals = []
+    for i in range(r, H - r):
+        for j in range(r, W - r):
+            x = X[i - r:i + r + 1, j - r:j + r + 1]
+            y = Y[i - r:i + r + 1, j - r:j + r + 1]
+            ux, uy = (w * x).sum(), (w * y).sum()
+            vx = cov_norm * ((w * x * x).sum() - ux * ux)
+            vy = cov_norm * ((w * y * y).sum() - uy * uy)
+            vxy = cov_norm * ((w * x * y).sum() - ux * uy)
+            vals.append(((2 * ux * uy + C1) * (2 * vxy + C2))
+                        / ((ux * ux + uy * uy + C1) * (vx + vy + C2)))
+    return float(np.mean(vals))
+
+
+def test_ssim_skimage_matches_brute_force():
+    rng = np.random.default_rng(0)
+    X = rng.uniform(size=(24, 20)).astype(np.float64)
+    Y = np.clip(X + rng.normal(scale=0.1, size=X.shape), 0, 1)
+    got = M.ssim_skimage(X, Y)
+    want = _brute_force_skimage_ssim(X, Y)
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_ssim_skimage_differs_from_torch_ssim():
+    """The two variants must NOT be aliases (sample vs population covariance,
+    crop vs zero-pad) — the round-1 bug was reporting one as the other."""
+    rng = np.random.default_rng(1)
+    X = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+    Y = np.clip(X + rng.normal(scale=0.2, size=X.shape).astype(np.float32), 0, 1)
+    a = M.ssim(X, Y)
+    b = M.ssim_skimage(X, Y)
+    assert abs(a - b) > 1e-4
+    assert M.ssim_skimage(X, X) == pytest.approx(1.0, abs=1e-9)
+
+
+def _numpy_lpips(img_a, img_b, layers, weights):
+    """Straightforward numpy re-evaluation of the LPIPS formula."""
+    import numpy as np
+
+    shift = np.array([-0.030, -0.088, -0.188], np.float32).reshape(1, 3, 1, 1)
+    scale = np.array([0.458, 0.448, 0.450], np.float32).reshape(1, 3, 1, 1)
+
+    def conv(x, w, b, stride, pad):
+        N, C, H, W = x.shape
+        O, I, kh, kw = w.shape
+        xp = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+        Ho = (H + 2 * pad - kh) // stride + 1
+        Wo = (W + 2 * pad - kw) // stride + 1
+        out = np.zeros((N, O, Ho, Wo), np.float32)
+        for i in range(Ho):
+            for j in range(Wo):
+                patch = xp[:, :, i * stride:i * stride + kh, j * stride:j * stride + kw]
+                out[:, :, i, j] = np.einsum("nchw,ochw->no", patch, w)
+        return out + b.reshape(1, -1, 1, 1)
+
+    def pool(x, k, s):
+        N, C, H, W = x.shape
+        Ho, Wo = (H - k) // s + 1, (W - k) // s + 1
+        out = np.zeros((N, C, Ho, Wo), np.float32)
+        for i in range(Ho):
+            for j in range(Wo):
+                out[:, :, i, j] = x[:, :, i * s:i * s + k, j * s:j * s + k].max((2, 3))
+        return out
+
+    def feats(img):
+        x = img.transpose(2, 0, 1)[None] * 2 - 1
+        x = (x - shift) / scale
+        taps, ci = [], 0
+        for spec in layers:
+            if spec[0] == "conv":
+                _, _, kk, st, pd = spec
+                x = np.maximum(conv(x, weights[f"conv{ci}_w"],
+                                    weights[f"conv{ci}_b"], st, pd), 0)
+                ci += 1
+            elif spec[0] == "pool":
+                x = pool(x, spec[1], spec[2])
+            else:
+                taps.append(x)
+        return taps
+
+    fa, fb = feats(img_a), feats(img_b)
+    total = 0.0
+    for i, (a, b) in enumerate(zip(fa, fb)):
+        na = a / (np.sqrt((a * a).sum(1, keepdims=True)) + 1e-10)
+        nb = b / (np.sqrt((b * b).sum(1, keepdims=True)) + 1e-10)
+        d = (na - nb) ** 2
+        lin = weights[f"lin{i}_w"].reshape(1, -1, 1, 1)
+        total += (d * lin).sum(1).mean()
+    return float(total)
+
+
+def test_lpips_jax_matches_numpy_reference(tmp_path, monkeypatch):
+    """Random (small) weights with the alex layer topology: the jitted JAX
+    LPIPS must equal the straightforward numpy evaluation of the formula."""
+    from ex4dgs_tpu.eval import lpips_jax as L
+
+    rng = np.random.default_rng(2)
+    # shrink channel counts so the brute-force numpy conv stays fast
+    layers = [
+        ("conv", 8, 11, 4, 2), ("tap",), ("pool", 3, 2),
+        ("conv", 12, 5, 1, 2), ("tap",), ("pool", 3, 2),
+        ("conv", 16, 3, 1, 1), ("tap",),
+    ]
+    weights = {}
+    cin, ci, li = 3, 0, 0
+    for spec in layers:
+        if spec[0] == "conv":
+            _, o, k, _, _ = spec
+            weights[f"conv{ci}_w"] = rng.normal(scale=0.2, size=(o, cin, k, k)).astype(np.float32)
+            weights[f"conv{ci}_b"] = rng.normal(scale=0.1, size=(o,)).astype(np.float32)
+            cin = o
+            ci += 1
+        elif spec[0] == "tap":
+            weights[f"lin{li}_w"] = np.abs(rng.normal(size=(cin,))).astype(np.float32)
+            li += 1
+
+    img_a = rng.uniform(size=(64, 48, 3)).astype(np.float32)
+    img_b = rng.uniform(size=(64, 48, 3)).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    got = float(L.lpips_fn(jnp.asarray(img_a), jnp.asarray(img_b), layers,
+                           {k: jnp.asarray(v) for k, v in weights.items()}))
+    want = _numpy_lpips(img_a, img_b, layers, weights)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+    # full evaluator path: write the npz, point the env at it
+    np.savez(tmp_path / "lpips_alex.npz", **weights)
+    monkeypatch.setenv("EX4DGS_LPIPS_WEIGHTS", str(tmp_path))
+    ev = L.LPIPSJax("alex")
+    assert ev.available
+    # evaluator uses the real ALEX_LAYERS topology; our toy weights only fit
+    # the toy topology, so just exercise weight loading here
+    assert set(ev.weights) == set(weights)
+
+
+def test_lpips_gated_returns_none(monkeypatch, tmp_path):
+    monkeypatch.setenv("EX4DGS_LPIPS_WEIGHTS", str(tmp_path))  # empty dir
+    m = M.LPIPS("alex")
+    out = m(np.zeros((16, 16, 3), np.float32), np.zeros((16, 16, 3), np.float32))
+    assert out is None
+    assert m.error and "unavailable" in m.error

@@ -1,0 +1,105 @@
+"""Loopback test of the SIBR network viewer protocol (viewer.py vs the
+reference's gaussian_renderer/network_gui.py wire format)."""
+import json
+import math
+import socket
+import threading
+
+import numpy as np
+
+from ex4dgs_tpu.ops.math3d import projection_matrix, world_to_view
+from ex4dgs_tpu.viewer import NetworkViewer
+
+
+def _wire_message(view, proj, w, h, fovx, fovy, train=True, t=2.5):
+    """Encode our mathematical matrices into the viewer's GL-flavored wire
+    convention (the inverse of viewer.py:74-81)."""
+    view_t = view.T.copy()
+    view_t[:, 1] *= -1
+    view_t[:, 2] *= -1
+    proj_t = proj.T.copy()
+    proj_t[:, 1] *= -1
+    msg = {
+        "resolution_x": w, "resolution_y": h,
+        "train": train, "fov_x": fovx, "fov_y": fovy,
+        "z_near": 0.2, "z_far": 50.0,
+        "shs_python": False, "rot_scale_python": False,
+        "keep_alive": False, "scaling_modifier": 1.0,
+        "view_matrix": view_t.flatten().tolist(),
+        "view_projection_matrix": proj_t.flatten().tolist(),
+        "timestamp": t,
+    }
+    return json.dumps(msg).encode("utf-8")
+
+
+def _send_msg(sock, payload: bytes):
+    sock.sendall(len(payload).to_bytes(4, "little"))
+    sock.sendall(payload)
+
+
+def _recv_exact(sock, n):
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        assert chunk, "peer closed"
+        buf += chunk
+    return buf
+
+
+def test_viewer_loopback_roundtrip():
+    viewer = NetworkViewer(port=19731)
+    port = viewer.init()
+
+    W, H = 32, 24
+    fov = math.radians(60)
+    view = world_to_view(np.eye(3), np.array([0.3, -0.2, 4.0], np.float32))
+    proj = (projection_matrix(0.2, 50.0, fov, fov) @ view).astype(np.float32)
+
+    got = {}
+
+    def render_fn(req):
+        got["req"] = req
+        img = np.zeros((req.camera.height, req.camera.width, 3), np.float32)
+        img[..., 0] = 1.0  # pure red
+        return img
+
+    client_result = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        # keep-alive (0 resolution) round first
+        _send_msg(s, _wire_message(view, proj, 0, 0, fov, fov, train=False))
+        client_result["ka_verify"] = _recv_exact(
+            s, int.from_bytes(_recv_exact(s, 4), "little"))
+        # real render request; train=True releases the poll loop
+        _send_msg(s, _wire_message(view, proj, W, H, fov, fov, train=True))
+        client_result["img"] = _recv_exact(s, H * W * 3)
+        client_result["verify"] = _recv_exact(
+            s, int.from_bytes(_recv_exact(s, 4), "little"))
+        s.close()
+
+    th = threading.Thread(target=client)
+    th.start()
+    # poll until the connection is accepted and both rounds served
+    for _ in range(200):
+        viewer.poll(render_fn, source_path="/data/scene", training_active=True)
+        if "verify" in client_result:
+            break
+    th.join(timeout=10)
+    viewer.close()
+
+    assert client_result["ka_verify"] == b"/data/scene"
+    assert client_result["verify"] == b"/data/scene"
+    img = np.frombuffer(client_result["img"], np.uint8).reshape(H, W, 3)
+    assert (img[..., 0] == 255).all() and (img[..., 1:] == 0).all()
+
+    req = got["req"]
+    assert req.camera.width == W and req.camera.height == H
+    assert req.timestamp == 2.5
+    # matrix convention conversion restored our mathematical matrices
+    np.testing.assert_allclose(np.asarray(req.camera.view), view, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(req.camera.proj), proj, atol=1e-5)
+    # camera center = inverse-view translation
+    np.testing.assert_allclose(
+        np.asarray(req.camera.campos), np.linalg.inv(view)[:3, 3], atol=1e-5
+    )
