@@ -140,17 +140,36 @@ def read_cameras_text(path) -> dict:
 
 
 def read_images_text(path) -> dict:
+    """COLMAP images.txt: each image is a pose line (ends in a filename)
+    optionally followed by a points2D line (all-numeric, possibly empty —
+    empty ones vanish under blank-line stripping, so detect by structure)."""
     out = {}
     with open(path) as f:
         lines = [l.strip() for l in f if l.strip() and not l.startswith("#")]
-    for i in range(0, len(lines), 2):
+
+    def is_pose_line(el):
+        if len(el) < 10:
+            return False
+        try:
+            float(el[9])
+            return False  # 10th field numeric -> points2D line
+        except ValueError:
+            return True  # filename
+
+    i = 0
+    while i < len(lines):
         el = lines[i].split()
+        assert is_pose_line(el), f"malformed images.txt line: {lines[i]!r}"
         iid = int(el[0])
         qvec = np.array(el[1:5], dtype=np.float64)
         tvec = np.array(el[5:8], dtype=np.float64)
         cam_id = int(el[8])
         name = el[9]
-        el2 = lines[i + 1].split() if i + 1 < len(lines) else []
+        i += 1
+        el2 = []
+        if i < len(lines) and not is_pose_line(lines[i].split()):
+            el2 = lines[i].split()
+            i += 1
         xys = np.array(el2, dtype=np.float64).reshape(-1, 3)[:, :2] if el2 else np.zeros((0, 2))
         ids = (np.array(el2, dtype=np.float64).reshape(-1, 3)[:, 2].astype(np.int64)
                if el2 else np.zeros((0,), np.int64))

@@ -166,10 +166,11 @@ def read_technicolor_scene(path: str, cfg) -> SceneInfo:
     radius = norm["radius"]
     # normalize camera translations + init points by the scene radius, then
     # treat the scene as unit-scale (dataset_readers.py:487-509)
+    train_ids = {id(c) for c in train}
     for c in train:
         c.T = c.T / radius
     for c in test:
-        if c not in train:
+        if id(c) not in train_ids:  # identity: don't double-normalize shares
             c.T = c.T / radius
     pc, ply_path = _load_points(
         os.path.join(colmap_path, "sparse", "0"), transform=lambda x: x / radius
