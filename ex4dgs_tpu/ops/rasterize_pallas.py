@@ -188,15 +188,18 @@ def _transmittance(alpha, cum_in, cumU):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _forward_kernel(starts, stops, data_hbm, gid_hbm, accum_out, tfinal_out,
-                    bestidx_out, buf, gbuf, cum_ref, tfin_ref, best_ref,
-                    bid_ref, acc_ref, sem, gsem, *, grid_x, track_idx):
+def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, accum_out,
+                    tfinal_out, bestidx_out, buf, gbuf, cum_ref, tfin_ref,
+                    best_ref, bid_ref, acc_ref, sem, gsem, *, grid_x,
+                    track_idx):
     t = pl.program_id(0)
     start = starts[t]
     stop = stops[t]
     base = (start // G_CHUNK) * G_CHUNK  # 128-aligned DMA origin
     nchunks = pl.cdiv(stop - base, G_CHUNK)
-    px, py, ox, oy = _pixel_coords(t, grid_x)
+    # tids[t] = GLOBAL tile index: under tile sharding (parallel/step_dp.py)
+    # each device composites a slab of tiles, so the grid index is slab-local.
+    px, py, ox, oy = _pixel_coords(tids[t], grid_x)
     moms = _pixel_moments(px, py)
     cumU = _cumsum_matrix()
 
@@ -293,12 +296,12 @@ def _forward_kernel(starts, stops, data_hbm, gid_hbm, accum_out, tfinal_out,
     bestidx_out[:] = bid_ref[:][None]
 
 
-def _forward_pallas(data, gid, starts, stops, *, num_tiles, grid_x,
+def _forward_pallas(data, gid, starts, stops, tids, *, num_tiles, grid_x,
                     interpret=False, track_idx=True):
     kernel = functools.partial(_forward_kernel, grid_x=grid_x,
                                track_idx=track_idx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -333,14 +336,14 @@ def _forward_pallas(data, gid, starts, stops, *, num_tiles, grid_x,
             jax.ShapeDtypeStruct((num_tiles, N_PIX, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(starts, stops, data, gid)
+    )(starts, stops, tids, data, gid)
 
 
 # ---------------------------------------------------------------------------
 # Backward
 # ---------------------------------------------------------------------------
 
-def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
+def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
                      tfin_in, _zeros_in, dgrad_out, buf, cum_ref, pref_ref,
                      dbuf, sem, wsem, *, grid_x):
     """Recompute the forward walk per tile; emit per-instance gradients.
@@ -360,7 +363,7 @@ def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
     stop = stops[t]
     base = (start // G_CHUNK) * G_CHUNK  # 128-aligned DMA origin
     nchunks = pl.cdiv(stop - base, G_CHUNK)
-    px, py, ox, oy = _pixel_coords(t, grid_x)
+    px, py, ox, oy = _pixel_coords(tids[t], grid_x)
 
     cum_ref[:] = jnp.ones((N_PIX, 1), jnp.float32)
     pref_ref[:] = jnp.zeros((N_PIX, 1), jnp.float32)
@@ -525,12 +528,12 @@ def _backward_kernel(starts, stops, data_hbm, gacc_in, acdot_in, gend_in,
         jax.lax.fori_loop(j_exit, nchunks, zbody, 0)
 
 
-def _backward_pallas(data, starts, stops, gacc, acdot, gend, tfin, *,
+def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin, *,
                      num_tiles, grid_x, interpret=False):
     capacity = data.shape[1]
     kernel = functools.partial(_backward_kernel, grid_x=grid_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # data
@@ -560,37 +563,39 @@ def _backward_pallas(data, starts, stops, gacc, acdot, gend, tfin, *,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((DATA_ROWS, capacity), jnp.float32)],
         # alias indices count ALL operands incl. scalar prefetch:
-        # starts=0, stops=1, data=2, cotangents 3..6, zeros=7 -> output 0
-        input_output_aliases={7: 0},
+        # starts=0, stops=1, tids=2, data=3, cotangents 4..7, zeros=8 -> out 0
+        input_output_aliases={8: 0},
         interpret=interpret,
-    )(starts, stops, data, gacc, acdot, gend, tfin, zeros)[0]
+    )(starts, stops, tids, data, gacc, acdot, gend, tfin, zeros)[0]
 
 
 # ---------------------------------------------------------------------------
 # custom_vjp wrapper + public API
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def composite_tiles(data, bg, gid, starts, stops, num_tiles, grid_x, interpret,
-                    track_idx=True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def composite_tiles(data, bg, gid, starts, stops, tids, num_tiles, grid_x,
+                    interpret, track_idx=True):
+    """Composite `num_tiles` tiles; tids[t] is each tile's GLOBAL grid index
+    (= arange for a full frame; a slab offset under tile sharding)."""
     accum, tfinal, bestidx = _forward_pallas(
-        data, gid, starts, stops, num_tiles=num_tiles, grid_x=grid_x,
+        data, gid, starts, stops, tids, num_tiles=num_tiles, grid_x=grid_x,
         interpret=interpret, track_idx=track_idx,
     )
     color = accum[..., 0:3] + tfinal * bg  # tfinal [T, P, 1] broadcasts
     return color, accum, tfinal, bestidx
 
 
-def _composite_fwd(data, bg, gid, starts, stops, num_tiles, grid_x, interpret,
-                   track_idx=True):
-    out = composite_tiles(data, bg, gid, starts, stops, num_tiles, grid_x,
-                          interpret, track_idx)
+def _composite_fwd(data, bg, gid, starts, stops, tids, num_tiles, grid_x,
+                   interpret, track_idx=True):
+    out = composite_tiles(data, bg, gid, starts, stops, tids, num_tiles,
+                          grid_x, interpret, track_idx)
     _color, accum, tfinal, _bestidx = out
-    return out, (data, bg, accum, tfinal, starts, stops)
+    return out, (data, bg, accum, tfinal, starts, stops, tids)
 
 
 def _composite_bwd(num_tiles, grid_x, interpret, track_idx, res, cts):
-    data, bg, accum, tfinal, starts, stops = res
+    data, bg, accum, tfinal, starts, stops, tids = res
     g_color, g_accum, g_tfinal, _ = cts
     # color = accum[...,:3] + tfinal*bg folds into the accum/tfinal cotangents
     gacc = g_accum.at[..., 0:3].add(g_color)
@@ -598,17 +603,19 @@ def _composite_bwd(num_tiles, grid_x, interpret, track_idx, res, cts):
     gc = gacc[..., 0:3]
     acdot = jnp.einsum("tpc,tpc->tp", accum[..., 0:3], gc)[..., None]  # [T,P,1]
     dgrad = _backward_pallas(
-        data, starts, stops, gacc, acdot, gend, tfinal,
+        data, starts, stops, tids, gacc, acdot, gend, tfinal,
         num_tiles=num_tiles, grid_x=grid_x, interpret=interpret,
     )
-    # The kernel writes [start, stop)-ranges; the sentinel-padding tail beyond
-    # the true instance count is never touched (uninitialized memory) and its
-    # rows alias real Gaussians through the clipped sort order — zero it.
-    total = stops[num_tiles - 1]
+    # The kernel writes only this slab's [start, stop) instance ranges; zero
+    # everything outside [starts[0], stops[-1]) — below lies another slab's
+    # region (tile sharding), above lies the sentinel-padding tail whose rows
+    # alias real Gaussians through the clipped sort order.
+    lo = starts[0]
+    hi = stops[num_tiles - 1]
     lane = jnp.arange(data.shape[1], dtype=jnp.int32)[None, :]
-    dgrad = jnp.where(lane < total, dgrad, 0.0)
+    dgrad = jnp.where((lane >= lo) & (lane < hi), dgrad, 0.0)
     g_bg = jnp.einsum("tpc,tpo->c", g_color, tfinal)
-    return dgrad, g_bg, None, None, None
+    return dgrad, g_bg, None, None, None, None
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)
@@ -643,9 +650,10 @@ def rasterize_tiled_pallas(
 
     data, gid = pack_sorted(proj, colors, flow, binning)
     gid2 = gid[None, :]
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
     color, accum, tfinal, bestidx = composite_tiles(
-        data, bg, gid2, binning.tile_start, binning.tile_stop, num_tiles,
-        grid_x, interpret, track_idx,
+        data, bg, gid2, binning.tile_start, binning.tile_stop, tids,
+        num_tiles, grid_x, interpret, track_idx,
     )
 
     acc = jax.lax.stop_gradient(accum[..., 7])

@@ -45,6 +45,67 @@ def tile_pixels(grid_x: int, grid_y: int, tile: int = TILE) -> jnp.ndarray:
     return jnp.stack([x, y], axis=-1).astype(jnp.float32)
 
 
+def composite_slab(
+    proj: Projected,
+    colors: jnp.ndarray,
+    flow: jnp.ndarray,
+    binning: Binning,
+    *,
+    grid_x: int,
+    t0,
+    num_local: int,
+    starts: jnp.ndarray,  # [T_pad] (>= t0 + num_local), padded with total
+    stops: jnp.ndarray,
+    bg: jnp.ndarray,
+    max_depth: float,
+    tile: int = TILE,
+    chunk: int = 128,
+    max_per_tile: int | None = None,
+) -> comp.RenderOutputs:
+    """Composite a slab of `num_local` tiles starting at GLOBAL tile index t0
+    (traced), returning per-tile pixel blocks [num_local, tile*tile, ...].
+
+    This is the unit the tile-sharding axis distributes (parallel/step_dp.py):
+    each device blends only its slab's contiguous instance ranges, so
+    per-chip compositing cost drops with the axis size."""
+    capacity = binning.order.shape[0]
+    if max_per_tile is None:
+        max_per_tile = capacity
+    steps = max(1, -(-max_per_tile // chunk))
+
+    xy, conic, opac, feats, gid = gather_sorted(proj, colors, flow, binning)
+
+    ids = t0 + jnp.arange(num_local, dtype=jnp.int32)
+    ty = ids // grid_x
+    tx = ids - ty * grid_x
+    py, px = jnp.mgrid[0:tile, 0:tile]
+    x = tx.reshape(-1, 1) * tile + px.reshape(1, -1)
+    y = ty.reshape(-1, 1) * tile + py.reshape(1, -1)
+    pixf = jnp.stack([x, y], axis=-1).astype(jnp.float32)  # [L, S, 2]
+
+    start = jax.lax.dynamic_slice_in_dim(starts, t0, num_local)
+    stop = jax.lax.dynamic_slice_in_dim(stops, t0, num_local)
+
+    def step_fn(carry, j):
+        idx = start[:, None] + j * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+        ok = idx < stop[:, None]
+        idx_c = jnp.clip(idx, 0, capacity - 1)
+        xy_c = jnp.take(xy, idx_c, axis=0)[:, None]
+        conic_c = jnp.take(conic, idx_c, axis=0)[:, None]
+        opac_c = jnp.take(opac, idx_c, axis=0)[:, None]
+        feats_c = jnp.take(feats, idx_c, axis=0)[:, None]
+        gid_c = jnp.take(gid, idx_c, axis=0)[:, None]
+        return comp.blend_chunk(
+            carry, pixf, xy_c, conic_c, opac_c, feats_c, ok[:, None], gid_c
+        ), None
+
+    carry0 = comp.init_carry((num_local, tile * tile), 8)
+    carry, _ = jax.lax.scan(
+        jax.checkpoint(step_fn), carry0, jnp.arange(steps, dtype=jnp.int32)
+    )
+    return comp.finalize(carry, bg, max_depth)
+
+
 def rasterize_tiled(
     proj: Projected,
     colors: jnp.ndarray,

@@ -27,7 +27,12 @@ from ..models.optimizer import RAdamState, group_lrs, mask_grads, radam_update, 
 from ..models.state import GaussianModel
 from ..models.temporal import point_data_at_t
 from ..ops.losses import l1_loss, psnr, ssim
-from ..rendering import RenderCamera, composite_projected, preprocess_points
+from ..rendering import (
+    RenderCamera,
+    composite_projected,
+    composite_projected_sharded,
+    preprocess_points,
+)
 from ..train.step import StepStatics, _regularizers, _update_stat_accumulators
 
 
@@ -40,8 +45,10 @@ class ShardedStepOutputs(NamedTuple):
 
 
 def _sliced_loss(params, mean2d_offset, flow_dirs, model, cam: RenderCamera,
-                 gt, t, bg, iteration, statics: StepStatics, gauss_size: int):
-    """Loss for one camera with the preprocess sharded over 'gauss'.
+                 gt, t, bg, iteration, statics: StepStatics, gauss_size: int,
+                 tile_shard: bool = True):
+    """Loss for one camera with the preprocess sharded over 'gauss' and (when
+    tile_shard) the tile grid sharded over the same axis for compositing.
 
     mean2d_offset/flow_dirs are LOCAL slices [P/G, 3]; their grads come back
     per-shard (no psum needed — each shard owns its rows)."""
@@ -72,11 +79,19 @@ def _sliced_loss(params, mean2d_offset, flow_dirs, model, cam: RenderCamera,
     colors = gather(colors_l)
     flow_full = gather(flow_dirs)
 
-    res = composite_projected(
-        proj, colors, flow_full, cam,
-        bg=bg, far=cfg.far, capacity=statics.capacity, chunk=statics.chunk,
-        max_per_tile=statics.max_per_tile, static_num=pts.static_num,
-    )
+    if tile_shard and gauss_size > 1:
+        res = composite_projected_sharded(
+            proj, colors, flow_full, cam,
+            bg=bg, far=cfg.far, capacity=statics.capacity,
+            axis_name="gauss", axis_size=gauss_size, chunk=statics.chunk,
+            max_per_tile=statics.max_per_tile, static_num=pts.static_num,
+        )
+    else:
+        res = composite_projected(
+            proj, colors, flow_full, cam,
+            bg=bg, far=cfg.far, capacity=statics.capacity, chunk=statics.chunk,
+            max_per_tile=statics.max_per_tile, static_num=pts.static_num,
+        )
 
     opt = statics.opt
     img = res.render

@@ -24,6 +24,7 @@ from .ops import binning as binning_ops
 from .ops import compositing as comp
 from .ops import rasterize_tiled
 from .ops.math3d import sh_to_rgb
+from .ops.projection import TILE as TILE_SIZE
 from .ops.projection import CameraArrays, Projected, project_gaussians, tile_grid
 
 
@@ -223,6 +224,99 @@ def composite_projected(
         opticalflow=out.flow,
         acc=out.acc,
         dominent_idxs=out.idx,
+        radii=proj.radius,
+        visibility_filter=proj.radius > 0,
+        static_num=static_num,
+        projected=proj,
+        binning_total=binning.total,
+    )
+
+
+def composite_projected_sharded(
+    proj: Projected,
+    colors: jnp.ndarray,
+    flow_dirs: jnp.ndarray,
+    cam: RenderCamera,
+    *,
+    bg: jnp.ndarray,
+    far: float,
+    capacity: int,
+    axis_name: str,
+    axis_size: int,
+    chunk: int = 128,
+    max_per_tile: int | None = None,
+    static_num: int = 0,
+    backend: str | None = None,
+    track_idx: bool = False,
+) -> RenderResult:
+    """Tile-sharded compositing (SURVEY §2.3 SP-analog): inside shard_map,
+    each device along `axis_name` composites a contiguous slab of the tile
+    grid (per-tile instance ranges are contiguous after the sort), then the
+    per-tile pixel blocks are all-gathered to assemble the frame. Per-chip
+    compositing cost drops ~axis_size-fold; binning/pack stay replicated
+    (they are a small fraction of the stage)."""
+    grid_x, grid_y = tile_grid(cam.width, cam.height)
+    num_tiles = grid_x * grid_y
+    binning = binning_ops.bin_gaussians(proj, grid_x, grid_y, capacity)
+    t_pad = -(-num_tiles // axis_size) * axis_size
+    local = t_pad // axis_size
+    pad = t_pad - num_tiles
+    total = binning.total
+    starts_p = jnp.concatenate(
+        [binning.tile_start, jnp.full((pad,), total, jnp.int32)])
+    stops_p = jnp.concatenate(
+        [binning.tile_stop, jnp.full((pad,), total, jnp.int32)])
+    t0 = jax.lax.axis_index(axis_name) * local
+
+    if backend is None:
+        on_tpu = jax.devices()[0].platform == "tpu"
+        backend = "pallas" if (on_tpu and capacity % 128 == 0) else "jnp"
+
+    if backend == "pallas":
+        from .ops.rasterize_pallas import composite_tiles, pack_sorted
+
+        data, gid = pack_sorted(proj, colors, flow_dirs, binning)
+        tids = t0 + jnp.arange(local, dtype=jnp.int32)
+        starts_l = jax.lax.dynamic_slice_in_dim(starts_p, t0, local)
+        stops_l = jax.lax.dynamic_slice_in_dim(stops_p, t0, local)
+        color, accum, tfinal, bestidx = composite_tiles(
+            data, bg, gid[None, :], starts_l, stops_l, tids, local, grid_x,
+            False, track_idx,
+        )
+        acc = jax.lax.stop_gradient(accum[..., 7])
+        has = acc > 0.0
+        denom = jnp.where(has, acc, 1.0)
+        depth = jnp.where(has, accum[..., 3] / denom, far)
+        flow_b = jnp.where(has[..., None], accum[..., 4:7] / denom[..., None], 0.0)
+        blocks = comp.RenderOutputs(
+            color=color, depth=depth, flow=flow_b, acc=acc,
+            final_t=tfinal[..., 0], idx=bestidx[..., 0],
+        )
+    else:
+        blocks = rasterize_tiled.composite_slab(
+            proj, colors, flow_dirs, binning, grid_x=grid_x, t0=t0,
+            num_local=local, starts=starts_p, stops=stops_p, bg=bg,
+            max_depth=far, chunk=chunk, max_per_tile=max_per_tile,
+        )
+
+    gathered = jax.tree.map(
+        lambda a: jax.lax.all_gather(a, axis_name, axis=0, tiled=True), blocks
+    )
+
+    tile = TILE_SIZE
+    def timg(arr):
+        arr = arr[:num_tiles]
+        ch = arr.shape[2:]
+        img = arr.reshape(grid_y, grid_x, tile, tile, *ch)
+        img = jnp.moveaxis(img, 2, 1).reshape(grid_y * tile, grid_x * tile, *ch)
+        return img[: cam.height, : cam.width]
+
+    return RenderResult(
+        render=timg(gathered.color),
+        depth=timg(gathered.depth),
+        opticalflow=timg(gathered.flow),
+        acc=timg(gathered.acc),
+        dominent_idxs=timg(gathered.idx),
         radii=proj.radius,
         visibility_filter=proj.radius > 0,
         static_num=static_num,

@@ -109,3 +109,42 @@ def test_different_cameras_per_shard():
     # four distinct timestamps folded into the error-min bookkeeping
     seen = np.asarray(out.model.stats["xyz_error_min_timestamp"])
     assert len(np.unique(seen[seen >= 0])) >= 2
+
+
+@pytest.mark.parametrize("axis_size", [2, 4, 8])
+def test_tile_sharded_composite_matches_full(axis_size):
+    """composite_projected_sharded must reproduce the unsharded image exactly
+    (same per-tile ranges, same chunk walk) while each device blends only its
+    slab of the tile grid."""
+    if axis_size > len(jax.devices()):
+        pytest.skip("not enough virtual devices")
+    from jax.sharding import Mesh, PartitionSpec as P
+    from ex4dgs_tpu.models.temporal import point_data_at_t
+    from ex4dgs_tpu.rendering import (
+        composite_projected, composite_projected_sharded, preprocess_points)
+
+    cfg, model, cam = _scene()
+    pts = point_data_at_t(model, cfg, jnp.asarray(1.0), 0)
+    proj, colors = preprocess_points(pts, cam, cfg, near=cfg.near, far=cfg.far)
+    flow = jnp.zeros((pts.means3d.shape[0], 3))
+    bg = jnp.asarray([0.2, 0.1, 0.4])
+
+    ref = composite_projected(proj, colors, flow, cam, bg=bg, far=cfg.far,
+                              capacity=4096, max_per_tile=256)
+
+    mesh = Mesh(np.array(jax.devices()[:axis_size]), ("gauss",))
+    fn = jax.shard_map(
+        lambda p, c, f: composite_projected_sharded(
+            p, c, f, cam, bg=bg, far=cfg.far, capacity=4096,
+            axis_name="gauss", axis_size=axis_size, max_per_tile=256),
+        mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+        check_vma=False,
+    )
+    out = jax.jit(fn)(proj, colors, flow)
+    np.testing.assert_allclose(np.asarray(out.render), np.asarray(ref.render),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
+                               atol=1e-6)
+    assert int(out.binning_total) == int(ref.binning_total)
