@@ -48,6 +48,7 @@ class StepStatics:
     chunk: int = 128
     max_per_tile: int | None = None  # per-tile compositing depth bound
     mode: int = 0
+    backend: str | None = None  # "pallas" | "jnp" | None = auto
 
 
 class StepOutputs(NamedTuple):
@@ -127,6 +128,7 @@ def _loss_and_aux(params, mean2d_offset, flow_dirs, model, cam, gt, t, bg,
         max_per_tile=statics.max_per_tile,
         mean2d_offset=mean2d_offset,
         flow_dirs=flow_dirs,
+        backend=statics.backend,
         track_idx=False,  # train.py never consumes dominent_idxs
     )
     img = res.render

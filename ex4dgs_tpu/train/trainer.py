@@ -76,6 +76,7 @@ class Trainer:
         mesh=None,
         test_iterations: tuple = (),
         metrics_path: str | None = None,
+        debug_snapshot_dir: str | None = None,
     ):
         """mesh: optional jax.sharding.Mesh with (data, gauss) axes — enables
         the SPMD step (parallel/step_dp.py): `data` cameras are consumed per
@@ -116,6 +117,7 @@ class Trainer:
         self._sharded_statics = None
         self.test_iterations = set(test_iterations)
         self._metrics_file = open(metrics_path, "a") if metrics_path else None
+        self.debug_snapshot_dir = debug_snapshot_dir
 
         # schedule state (train.py:77-86)
         self.sample_len = float(cfg.start_duration)
@@ -139,6 +141,7 @@ class Trainer:
             spatial_lr_scale=self.scene.cameras_extent,
             capacity=self.capacity,
             max_per_tile=self.max_per_tile,
+            backend=self.backend,
         )
 
     def _get_sharded_step(self, statics: StepStatics):
@@ -397,7 +400,29 @@ class Trainer:
             self.model.dynamic_capacity
             and bool(jnp.isnan(self.model.params["motion_xyz"]).any())
         ):
+            self._dump_debug_snapshot()
             self._host_event(D.prune_nan)
+
+    def _dump_debug_snapshot(self) -> None:
+        """Arg-dump-on-failure (the reference's debug snapshot mechanism,
+        diff_gaussian_rasterization_df/__init__.py:92-99,152-159): when the
+        step produced NaNs, persist the full pre-prune state + the camera that
+        triggered it for offline reproduction."""
+        if not self.debug_snapshot_dir:
+            return
+        os.makedirs(self.debug_snapshot_dir, exist_ok=True)
+        payload = {f"param:{k}": np.asarray(v)
+                   for k, v in self.model.params.items()}
+        payload["iteration"] = np.asarray(self.iteration)
+        if getattr(self, "last_cam", None) is not None:
+            rc = self.last_cam.render_camera()
+            payload["cam_view"] = np.asarray(rc.view)
+            payload["cam_proj"] = np.asarray(rc.proj)
+            payload["cam_timestamp"] = np.asarray(self.last_cam.timestamp)
+        path = os.path.join(self.debug_snapshot_dir,
+                            f"nan_snapshot_{self.iteration}.npz")
+        np.savez(path, **payload)
+        print(f"[debug] NaN detected; state dumped to {path}", flush=True)
 
     def _do_extract(self, timestamp: float) -> None:
         vis = self.last_vis
@@ -429,7 +454,8 @@ class Trainer:
             img = render(cam.render_camera(), self.model, self.cfg,
                          t=jnp.asarray(cam.timestamp, jnp.float32),
                          bg=bg, capacity=self.capacity,
-                         max_per_tile=self.max_per_tile).render
+                         max_per_tile=self.max_per_tile,
+                         backend=self.backend).render
             vals.append(float(psnr_fn(jnp.clip(img, 0, 1), jnp.asarray(gt))))
         return {"n_frames": len(vals), "psnr": float(np.mean(vals))}
 

@@ -40,9 +40,28 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--backend", type=str, default=None,
                         help="pallas | jnp | None=auto")
+    parser.add_argument("--mesh_data", type=int, default=1,
+                        help="data-parallel mesh axis (cameras per step)")
+    parser.add_argument("--mesh_gauss", type=int, default=1,
+                        help="model-parallel mesh axis (splat + tile sharding)")
+    parser.add_argument("--debug", action="store_true",
+                        help="dump a state snapshot when a step produces NaNs")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host: coordinator address host:port")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     _add_dataclass_args(parser, ModelConfig)
     _add_dataclass_args(parser, OptimizationConfig)
     args = parser.parse_args(argv)
+
+    # Multi-host wiring (runtime/distributed.py): must run before any jax use.
+    from ex4dgs_tpu.runtime.distributed import initialize
+
+    dist_info = initialize(coordinator_address=args.coordinator,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
+    if dist_info["process_count"] > 1:
+        print(f"distributed: {dist_info}", flush=True)
 
     cfg, opt, pipe = ModelConfig(), OptimizationConfig(), PipelineConfig()
     if args.config:
@@ -74,8 +93,18 @@ def main(argv=None):
         hm, start_it, extra = load_checkpoint(args.start_checkpoint)
         model, opt_state = push(hm, cfg)
 
+    mesh = None
+    if args.mesh_data * args.mesh_gauss > 1:
+        from ex4dgs_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_data * args.mesh_gauss,
+                         data=args.mesh_data, gauss=args.mesh_gauss)
+
     trainer = Trainer(cfg, opt, scene, model=model, opt_state=opt_state,
-                      seed=args.seed, backend=args.backend)
+                      seed=args.seed, backend=args.backend, mesh=mesh,
+                      test_iterations=tuple(args.test_iterations),
+                      debug_snapshot_dir=(os.path.join(model_path, "debug")
+                                          if args.debug else None))
     if args.start_checkpoint:
         trainer.iteration = start_it
         if "sample_len" in extra:
