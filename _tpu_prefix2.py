@@ -131,7 +131,7 @@ def pipeline(params, t, stage, pack_variant):
     tids = jnp.arange(gx * gy, dtype=jnp.int32)
     color, accum, tfinal, bestidx = rp.composite_tiles(
         data, jnp.zeros(3), gid[None], binn.tile_start, binn.tile_stop,
-        tids, gx * gy, gx, False, False)
+        tids, None, gx * gy, gx, False, False)
     if stage == 5:
         return accum.sum()
     img = color.reshape(gy, gx, 16, 16, 3)

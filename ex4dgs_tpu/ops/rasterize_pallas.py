@@ -188,10 +188,10 @@ def _transmittance(alpha, cum_in, cumU):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, accum_out,
+def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
                     tfinal_out, bestidx_out, buf, gbuf, cum_ref, tfin_ref,
                     best_ref, bid_ref, acc_ref, sem, gsem, *, grid_x,
-                    track_idx):
+                    track_idx, subpixel):
     t = pl.program_id(0)
     start = starts[t]
     stop = stops[t]
@@ -200,6 +200,10 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, accum_out,
     # tids[t] = GLOBAL tile index: under tile sharding (parallel/step_dp.py)
     # each device composites a slab of tiles, so the grid index is slab-local.
     px, py, ox, oy = _pixel_coords(tids[t], grid_x)
+    if subpixel:
+        # per-pixel anti-aliasing offsets (forward.cu:311-317)
+        px = px + off_in[0, :, 0:1]
+        py = py + off_in[0, :, 1:2]
     moms = _pixel_moments(px, py)
     cumU = _cumsum_matrix()
 
@@ -296,16 +300,21 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, accum_out,
     bestidx_out[:] = bid_ref[:][None]
 
 
-def _forward_pallas(data, gid, starts, stops, tids, *, num_tiles, grid_x,
-                    interpret=False, track_idx=True):
+def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
+                    num_tiles, grid_x, interpret=False, track_idx=True):
+    subpixel = subpixel_offsets is not None
+    if not subpixel:  # dummy single block, never read
+        subpixel_offsets = jnp.zeros((1, N_PIX, 2), jnp.float32)
     kernel = functools.partial(_forward_kernel, grid_x=grid_x,
-                               track_idx=track_idx)
+                               track_idx=track_idx, subpixel=subpixel)
+    off_map = (lambda t, *_: (t, 0, 0)) if subpixel else (lambda t, *_: (0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, N_PIX, 2), off_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, N_PIX, N_ACC), lambda t, *_: (t, 0, 0),
@@ -336,7 +345,7 @@ def _forward_pallas(data, gid, starts, stops, tids, *, num_tiles, grid_x,
             jax.ShapeDtypeStruct((num_tiles, N_PIX, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(starts, stops, tids, data, gid)
+    )(starts, stops, tids, data, gid, subpixel_offsets)
 
 
 # ---------------------------------------------------------------------------
@@ -344,8 +353,8 @@ def _forward_pallas(data, gid, starts, stops, tids, *, num_tiles, grid_x,
 # ---------------------------------------------------------------------------
 
 def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
-                     tfin_in, _zeros_in, dgrad_out, buf, cum_ref, pref_ref,
-                     dbuf, sem, wsem, *, grid_x):
+                     tfin_in, off_in, _zeros_in, dgrad_out, buf, cum_ref,
+                     pref_ref, dbuf, sem, wsem, *, grid_x, subpixel):
     """Recompute the forward walk per tile; emit per-instance gradients.
 
     dgrad rows: 0 dxy_x, 1 dxy_y, 2 dconic_a, 3 dconic_b, 4 dconic_c,
@@ -364,6 +373,9 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     base = (start // G_CHUNK) * G_CHUNK  # 128-aligned DMA origin
     nchunks = pl.cdiv(stop - base, G_CHUNK)
     px, py, ox, oy = _pixel_coords(tids[t], grid_x)
+    if subpixel:
+        px = px + off_in[0, :, 0:1]
+        py = py + off_in[0, :, 1:2]
 
     cum_ref[:] = jnp.ones((N_PIX, 1), jnp.float32)
     pref_ref[:] = jnp.zeros((N_PIX, 1), jnp.float32)
@@ -528,10 +540,16 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
         jax.lax.fori_loop(j_exit, nchunks, zbody, 0)
 
 
-def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin, *,
-                     num_tiles, grid_x, interpret=False):
+def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
+                     subpixel_offsets=None, *, num_tiles, grid_x,
+                     interpret=False):
     capacity = data.shape[1]
-    kernel = functools.partial(_backward_kernel, grid_x=grid_x)
+    subpixel = subpixel_offsets is not None
+    if not subpixel:
+        subpixel_offsets = jnp.zeros((1, N_PIX, 2), jnp.float32)
+    kernel = functools.partial(_backward_kernel, grid_x=grid_x,
+                               subpixel=subpixel)
+    off_map = (lambda t, *_: (t, 0, 0)) if subpixel else (lambda t, *_: (0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
@@ -545,6 +563,7 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N_PIX, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_PIX, 2), off_map, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # dgrad zero-init (aliased)
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -562,40 +581,46 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin, *,
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((DATA_ROWS, capacity), jnp.float32)],
-        # alias indices count ALL operands incl. scalar prefetch:
-        # starts=0, stops=1, tids=2, data=3, cotangents 4..7, zeros=8 -> out 0
-        input_output_aliases={8: 0},
+        # alias indices count ALL operands incl. scalar prefetch: starts=0,
+        # stops=1, tids=2, data=3, cotangents 4..7, off=8, zeros=9 -> out 0
+        input_output_aliases={9: 0},
         interpret=interpret,
-    )(starts, stops, tids, data, gacc, acdot, gend, tfin, zeros)[0]
+    )(starts, stops, tids, data, gacc, acdot, gend, tfin, subpixel_offsets,
+      zeros)[0]
 
 
 # ---------------------------------------------------------------------------
 # custom_vjp wrapper + public API
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def composite_tiles(data, bg, gid, starts, stops, tids, num_tiles, grid_x,
-                    interpret, track_idx=True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def composite_tiles(data, bg, gid, starts, stops, tids, subpixel_offsets,
+                    num_tiles, grid_x, interpret, track_idx=True):
     """Composite `num_tiles` tiles; tids[t] is each tile's GLOBAL grid index
-    (= arange for a full frame; a slab offset under tile sharding)."""
+    (= arange for a full frame; a slab offset under tile sharding).
+    subpixel_offsets: optional [T, 256, 2] per-pixel AA offsets
+    (forward.cu:311-317) — treated as data, not a differentiable parameter."""
     accum, tfinal, bestidx = _forward_pallas(
-        data, gid, starts, stops, tids, num_tiles=num_tiles, grid_x=grid_x,
+        data, gid, starts, stops, tids, subpixel_offsets,
+        num_tiles=num_tiles, grid_x=grid_x,
         interpret=interpret, track_idx=track_idx,
     )
     color = accum[..., 0:3] + tfinal * bg  # tfinal [T, P, 1] broadcasts
     return color, accum, tfinal, bestidx
 
 
-def _composite_fwd(data, bg, gid, starts, stops, tids, num_tiles, grid_x,
-                   interpret, track_idx=True):
-    out = composite_tiles(data, bg, gid, starts, stops, tids, num_tiles,
-                          grid_x, interpret, track_idx)
+def _composite_fwd(data, bg, gid, starts, stops, tids, subpixel_offsets,
+                   num_tiles, grid_x, interpret, track_idx=True):
+    out = composite_tiles(data, bg, gid, starts, stops, tids,
+                          subpixel_offsets, num_tiles, grid_x, interpret,
+                          track_idx)
     _color, accum, tfinal, _bestidx = out
-    return out, (data, bg, accum, tfinal, starts, stops, tids)
+    return out, (data, bg, accum, tfinal, starts, stops, tids,
+                 subpixel_offsets)
 
 
 def _composite_bwd(num_tiles, grid_x, interpret, track_idx, res, cts):
-    data, bg, accum, tfinal, starts, stops, tids = res
+    data, bg, accum, tfinal, starts, stops, tids, subpixel_offsets = res
     g_color, g_accum, g_tfinal, _ = cts
     # color = accum[...,:3] + tfinal*bg folds into the accum/tfinal cotangents
     gacc = g_accum.at[..., 0:3].add(g_color)
@@ -604,6 +629,7 @@ def _composite_bwd(num_tiles, grid_x, interpret, track_idx, res, cts):
     acdot = jnp.einsum("tpc,tpc->tp", accum[..., 0:3], gc)[..., None]  # [T,P,1]
     dgrad = _backward_pallas(
         data, starts, stops, tids, gacc, acdot, gend, tfinal,
+        subpixel_offsets,
         num_tiles=num_tiles, grid_x=grid_x, interpret=interpret,
     )
     # The kernel writes only this slab's [start, stop) instance ranges; zero
@@ -615,7 +641,9 @@ def _composite_bwd(num_tiles, grid_x, interpret, track_idx, res, cts):
     lane = jnp.arange(data.shape[1], dtype=jnp.int32)[None, :]
     dgrad = jnp.where((lane >= lo) & (lane < hi), dgrad, 0.0)
     g_bg = jnp.einsum("tpc,tpo->c", g_color, tfinal)
-    return dgrad, g_bg, None, None, None, None
+    g_off = (None if subpixel_offsets is None
+             else jnp.zeros_like(subpixel_offsets))  # AA offsets: data
+    return dgrad, g_bg, None, None, None, None, g_off
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)
@@ -634,13 +662,14 @@ def rasterize_tiled_pallas(
     tile: int = TILE,
     interpret: bool = False,
     track_idx: bool = True,
+    subpixel_offset: jnp.ndarray | None = None,
     **_unused,
 ) -> comp.RenderOutputs:
     """Drop-in replacement for ops.rasterize_tiled.rasterize_tiled on TPU.
 
     track_idx=False skips the dominant-contributor bookkeeping (the training
     loop never consumes it — train.py ignores `dominent_idxs`); `idx` comes
-    back as -1s."""
+    back as -1s. subpixel_offset: optional [H, W, 2] AA offsets."""
     assert tile == TILE
     grid_x = (width + tile - 1) // tile
     grid_y = (height + tile - 1) // tile
@@ -648,12 +677,23 @@ def rasterize_tiled_pallas(
     capacity = binning.order.shape[0]
     assert capacity % G_CHUNK == 0, f"binning capacity must be a multiple of {G_CHUNK}"
 
+    offsets_t = None
+    if subpixel_offset is not None:  # [H, W, 2] -> per-tile [T, 256, 2]
+        pad_y = grid_y * tile - height
+        pad_x = grid_x * tile - width
+        off = jnp.pad(subpixel_offset, ((0, pad_y), (0, pad_x), (0, 0)))
+        offsets_t = (
+            off.reshape(grid_y, tile, grid_x, tile, 2)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(num_tiles, tile * tile, 2)
+        )
+
     data, gid = pack_sorted(proj, colors, flow, binning)
     gid2 = gid[None, :]
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     color, accum, tfinal, bestidx = composite_tiles(
         data, bg, gid2, binning.tile_start, binning.tile_stop, tids,
-        num_tiles, grid_x, interpret, track_idx,
+        offsets_t, num_tiles, grid_x, interpret, track_idx,
     )
 
     acc = jax.lax.stop_gradient(accum[..., 7])

@@ -194,15 +194,14 @@ def composite_projected(
     binning = binning_ops.bin_gaussians(proj, grid_x, grid_y, capacity)
     if backend is None:
         on_tpu = jax.devices()[0].platform == "tpu"
-        backend = "pallas" if (on_tpu and subpixel_offset is None
-                               and capacity % 128 == 0) else "jnp"
+        backend = "pallas" if (on_tpu and capacity % 128 == 0) else "jnp"
     if backend == "pallas":
         from .ops.rasterize_pallas import rasterize_tiled_pallas
 
         out = rasterize_tiled_pallas(
             proj, colors, flow_dirs, binning,
             width=cam.width, height=cam.height, bg=bg, max_depth=far,
-            track_idx=track_idx,
+            track_idx=track_idx, subpixel_offset=subpixel_offset,
         )
     else:
         out = rasterize_tiled.rasterize_tiled(
@@ -280,8 +279,8 @@ def composite_projected_sharded(
         starts_l = jax.lax.dynamic_slice_in_dim(starts_p, t0, local)
         stops_l = jax.lax.dynamic_slice_in_dim(stops_p, t0, local)
         color, accum, tfinal, bestidx = composite_tiles(
-            data, bg, gid[None, :], starts_l, stops_l, tids, local, grid_x,
-            False, track_idx,
+            data, bg, gid[None, :], starts_l, stops_l, tids, None, local,
+            grid_x, False, track_idx,
         )
         acc = jax.lax.stop_gradient(accum[..., 7])
         has = acc > 0.0

@@ -129,3 +129,29 @@ def test_pallas_backward_geometry_grads():
     for a, b, name in zip(g_pal, g_ref, ("xy", "conic")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
                                    err_msg=name)
+
+
+def test_pallas_subpixel_offset_matches_jnp():
+    """Per-pixel AA offsets on the Pallas path (forward.cu:311-317)."""
+    proj, g, binning = _setup()
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    rng = np.random.default_rng(11)
+    off = jnp.asarray(rng.uniform(-0.5, 0.5, size=(H, W, 2)).astype(np.float32))
+    ref = rt.rasterize_tiled(
+        proj, g["colors"], g["flow"], binning, width=W, height=H, bg=bg,
+        max_depth=100.0, chunk=64, max_per_tile=1024, subpixel_offset=off,
+    )
+    out = rp.rasterize_tiled_pallas(
+        proj, g["colors"], g["flow"], binning, width=W, height=H, bg=bg,
+        max_depth=100.0, interpret=True, subpixel_offset=off,
+    )
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
+                               atol=1e-5)
+    # offsets actually moved pixels (differs from the no-offset render)
+    base = rp.rasterize_tiled_pallas(
+        proj, g["colors"], g["flow"], binning, width=W, height=H, bg=bg,
+        max_depth=100.0, interpret=True,
+    )
+    assert float(jnp.abs(out.color - base.color).max()) > 1e-3
