@@ -34,6 +34,8 @@ class Binning(NamedTuple):
     tile_start: jnp.ndarray  # [num_tiles] int32
     tile_stop: jnp.ndarray  # [num_tiles] int32
     total: jnp.ndarray  # [] int32 true instance count (may exceed capacity)
+    cum: jnp.ndarray = None  # [P] int32 inclusive prefix of per-Gaussian counts
+    counts: jnp.ndarray = None  # [P] int32 tiles touched per Gaussian
 
 
 def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int) -> Binning:
@@ -84,7 +86,8 @@ def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int) -> B
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(tile_s, tile_ids, side="left").astype(jnp.int32)
     stop = jnp.searchsorted(tile_s, tile_ids, side="right").astype(jnp.int32)
-    return Binning(order=order, tile_id=tile_s, tile_start=start, tile_stop=stop, total=total)
+    return Binning(order=order, tile_id=tile_s, tile_start=start, tile_stop=stop,
+                   total=total, cum=cum, counts=counts)
 
 
 def required_capacity(total: int, granularity: int = 65536) -> int:

@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import compositing as comp
 from .binning import Binning
 from .projection import Projected, TILE
+from .scan_ops import blocked_cumsum_2d
 
 G_CHUNK = 256  # instances per DMA window; larger = shorter serial chain
 N_PIX = TILE * TILE  # 256
@@ -44,6 +45,47 @@ DATA_ROWS = 16  # packed per-instance rows (one sublane tile)
 # rows: 0 xy_x, 1 xy_y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
 #       6 r, 7 g, 8 b, 9 depth, 10 fx, 11 fy, 12 fz, 13 one, 14-15 pad
 N_ACC = 8  # accum channels: r g b depth fx fy fz acc
+
+
+@jax.custom_vjp
+def _gather_rows_t(cols, order, cum, counts):
+    """data[16, capacity] = cols[order].T — the pack gather, with a
+    segment-reduction VJP.
+
+    Autodiff of the gather is a scatter-add of [capacity, 16] cotangent rows
+    at 2M random indices (~30 ms at N3V scale — XLA serializes it). The VJP
+    instead re-sorts instances by source Gaussian, which recovers the
+    EXPANSION order whose segment boundaries binning already knows
+    (cum/counts), so each Gaussian's cotangent is a contiguous-segment sum:
+    an inclusive prefix (blocked, sublane-direction) + two [P, 16] row
+    gathers. Fully deterministic, ~2x faster than the scatter."""
+    return jnp.take(cols, order, axis=0).T
+
+
+def _gather_rows_t_fwd(cols, order, cum, counts):
+    return _gather_rows_t(cols, order, cum, counts), (order, cum, counts)
+
+
+def _gather_rows_t_bwd(res, ct):
+    order, cum, counts = res
+    capacity = order.shape[0]
+    slot = jax.lax.iota(jnp.int32, capacity)
+    # stable 1-key sort by Gaussian id: tail slots (sentinel, clipped to the
+    # last id) sort AFTER that Gaussian's genuine instances, outside [lo, hi)
+    _g_s, slot_s = jax.lax.sort((order, slot), num_keys=1, is_stable=True)
+    rows = jnp.take(ct.T, slot_s, axis=0)  # [capacity, 16], grouped by Gaussian
+    pref = blocked_cumsum_2d(rows)
+    hi = jnp.clip(cum - 1, 0, capacity - 1)
+    lo = jnp.clip(cum - counts - 1, 0, capacity - 1)
+    hi_v = jnp.where((cum > 0)[:, None], jnp.take(pref, hi, axis=0), 0.0)
+    lo_v = jnp.where(
+        (cum - counts > 0)[:, None], jnp.take(pref, lo, axis=0), 0.0
+    )
+    d_cols = jnp.where((counts > 0)[:, None], hi_v - lo_v, 0.0)
+    return d_cols, None, None, None
+
+
+_gather_rows_t.defvjp(_gather_rows_t_fwd, _gather_rows_t_bwd)
 
 
 def pack_sorted(proj: Projected, colors, flow, binning: Binning):
@@ -70,28 +112,37 @@ def pack_sorted(proj: Projected, colors, flow, binning: Binning):
         ],
         axis=1,
     )  # [P, 16] — P is small (splat count, not instances)
-    data = jnp.take(cols, g, axis=0).T  # [capacity, 16] gather -> [16, capacity]
+    if binning.cum is not None:
+        data = _gather_rows_t(cols, g, binning.cum, binning.counts)
+    else:  # minimal Binning (tests) — autodiff scatter VJP
+        data = jnp.take(cols, g, axis=0).T
     return data, g.astype(jnp.int32)
 
 
-def _pixel_coords(tile_idx, grid_x):
-    """Tile origin (ox, oy) and LOCAL pixel offsets [N_PIX, 1].
+PAIR = 2  # tiles composited per grid step (batched pair axis)
+
+
+def _tile_origin(tile_idx, grid_x):
+    """Tile origin (ox, oy) scalars for a GLOBAL tile index."""
+    ty = tile_idx // grid_x
+    tx = tile_idx - ty * grid_x
+    return (tx * TILE).astype(jnp.float32), (ty * TILE).astype(jnp.float32)
+
+
+def _local_pixels():
+    """LOCAL pixel offsets px, py: [N_PIX, 1].
 
     All kernel math runs in tile-local coordinates (px < 16): the polynomial
     power evaluation would otherwise cancel catastrophically in fp32 (global
     px^2 reaches ~2e6 at N3V resolution while the exponent itself is O(1))."""
-    ty = tile_idx // grid_x
-    tx = tile_idx - ty * grid_x
     p = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, 1), 0)
     px = (p % TILE).astype(jnp.float32)
     py = (p // TILE).astype(jnp.float32)
-    ox = (tx * TILE).astype(jnp.float32)
-    oy = (ty * TILE).astype(jnp.float32)
-    return px, py, ox, oy
+    return px, py
 
 
 def _pixel_moments(px, py):
-    """[N_PIX, 8] pixel-moment matrix: 1, px, py, px^2, px*py, py^2, 0, 0.
+    """[..., N_PIX, 8] pixel-moment matrix: 1, px, py, px^2, px*py, py^2, 0, 0.
 
     The Gaussian exponent is quadratic in pixel coordinates, so evaluating it
     for all (pixel, instance) pairs is a single [N_PIX, 8] x [8, G] matmul on
@@ -99,7 +150,7 @@ def _pixel_moments(px, py):
     one = jnp.ones_like(px)
     zero = jnp.zeros_like(px)
     return jnp.concatenate(
-        [one, px, py, px * px, px * py, py * py, zero, zero], axis=1
+        [one, px, py, px * px, px * py, py * py, zero, zero], axis=-1
     )
 
 
@@ -120,35 +171,39 @@ def _cumsum_matrix():
 
 
 def _lane_cumsum(x, cumU):
-    """Inclusive cumsum over the G_CHUNK lane axis of [N, G_CHUNK] via
-    blockwise [N, 128] x [128, 128] matmuls + per-block carries."""
+    """Inclusive cumsum over the trailing G_CHUNK lane axis of
+    [PAIR, N, G_CHUNK] via blockwise [PAIR*N, 128] x [128, 128] matmuls +
+    per-block carries (the shared operator makes the pair axis free rows of
+    ONE flattened MXU matmul)."""
     parts = []
     carry = None
     for b in range(G_CHUNK // G_SUB):
-        blk = x[:, b * G_SUB:(b + 1) * G_SUB]
+        blk = x[..., b * G_SUB:(b + 1) * G_SUB]
         cs = jax.lax.dot_general(
-            blk, cumU, (((1,), (0,)), ((), ())),
+            blk, cumU, (((blk.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if carry is not None:
             cs = cs + carry
-        carry = cs[:, -1:]
+        carry = cs[..., -1:]
         parts.append(cs)
-    return jnp.concatenate(parts, axis=1)
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _chunk_alpha(chunk, moms, lo, hi, ox, oy):
-    """Alpha pieces for one [16, G] chunk against the tile's pixels.
+    """Alpha pieces for a [PAIR, 16, G] chunk pair against each tile's pixels.
 
-    Lanes in [lo, hi) hold this tile's instances (DMA windows are 128-aligned,
-    so a window may straddle the tile's range ends); others are masked out.
-    Returns (alpha, alpha_raw, exp_term, mask), each [N_PIX, G]."""
-    xs = chunk[0:1, :] - ox  # [1, G], tile-local
-    ys = chunk[1:2, :] - oy
-    ca = chunk[2:3, :]
-    cb = chunk[3:4, :]
-    cc = chunk[4:5, :]
-    op = chunk[5:6, :]
+    Per pair k, lanes in [lo[k], hi[k]) hold tile k's instances (DMA windows
+    are 128-aligned, so a window may straddle the tile's range ends); others
+    are masked out — including entire exhausted tiles (hi <= 0), whose stale
+    buffer contents mask to zero contributions.
+    Returns (alpha, alpha_raw, exp_term, mask), each [PAIR, N_PIX, G]."""
+    xs = chunk[:, 0:1, :] - ox  # [PAIR, 1, G], tile-local
+    ys = chunk[:, 1:2, :] - oy
+    ca = chunk[:, 2:3, :]
+    cb = chunk[:, 3:4, :]
+    cc = chunk[:, 4:5, :]
+    op = chunk[:, 5:6, :]
     zero = jnp.zeros_like(xs)
     # power = -0.5 ca (xg-px)^2 - 0.5 cc (yg-py)^2 - cb (xg-px)(yg-py)
     # as a polynomial in (px, py):
@@ -160,21 +215,22 @@ def _chunk_alpha(chunk, moms, lo, hi, ox, oy):
         -cb,  # px*py
         -0.5 * cc,  # py^2
         zero, zero,
-    ], axis=0)  # [8, G]
+    ], axis=1)  # [PAIR, 8, G]
     power = jax.lax.dot_general(
-        moms, coef, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [N_PIX, G]
+        moms, coef, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [PAIR, N_PIX, G]
     expt = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = op * expt
     alpha_c = jnp.minimum(alpha_raw, comp.ALPHA_MAX)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, G_CHUNK), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (PAIR, N_PIX, G_CHUNK), 2)
     m = (lane >= lo) & (lane < hi) & (power <= 0.0) & (alpha_c >= comp.ALPHA_MIN)
     alpha = jnp.where(m, alpha_c, 0.0)
     return alpha, jnp.where(m, alpha_raw, 0.0), jnp.where(m, expt, 0.0), m
 
 
 def _transmittance(alpha, cum_in, cumU):
-    """(cum inclusive, cum exclusive) for a chunk, via log-space matmuls.
+    """(cum inclusive, cum exclusive) for a chunk pair, via log-space matmuls.
 
     cum_excl = cum / (1 - alpha); alpha <= 0.99 keeps the division safe, and
     masked lanes (alpha == 0) divide by exactly 1."""
@@ -182,6 +238,20 @@ def _transmittance(alpha, cum_in, cumU):
     cum = cum_in * jnp.exp(cl)
     cum_excl = cum / (1.0 - alpha)
     return cum, cum_excl
+
+
+def _pair_scalars(vals):
+    """Stack PAIR traced scalars into a [PAIR, 1, 1] f32 broadcastable."""
+    return jnp.concatenate(
+        [jnp.full((1, 1, 1), v, jnp.float32) for v in vals], axis=0
+    )
+
+
+def _pair_scalars_i32(vals):
+    """Stack PAIR traced scalars into a [PAIR, 1, 1] i32 broadcastable."""
+    return jnp.concatenate(
+        [jnp.full((1, 1, 1), v, jnp.int32) for v in vals], axis=0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -192,160 +262,219 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
                     tfinal_out, bestidx_out, buf, gbuf, cum_ref, tfin_ref,
                     best_ref, bid_ref, acc_ref, sem, gsem, *, grid_x,
                     track_idx, subpixel):
-    t = pl.program_id(0)
-    start = starts[t]
-    stop = stops[t]
-    base = (start // G_CHUNK) * G_CHUNK  # 128-aligned DMA origin
-    nchunks = pl.cdiv(stop - base, G_CHUNK)
+    """Composite a PAIR of adjacent tiles per grid step, batched on a leading
+    pair axis: every VPU op covers both tiles' [N_PIX, G] panes (2x the work
+    per instruction — hides op latency on the serial transmittance chain) and
+    the per-tile fixed costs (state init, scalar reads, output writes, loop
+    bookkeeping) are amortized. The shared lane-cumsum operator makes the
+    pair axis free MXU rows. A tile that exhausts its chunks or latches early
+    keeps streaming masked zero contributions until its partner finishes."""
+    p = pl.program_id(0)
+    t0 = p * PAIR
+    start_k = [starts[t0 + k] for k in range(PAIR)]
+    stop_k = [stops[t0 + k] for k in range(PAIR)]
+    base_k = [(s // G_CHUNK) * G_CHUNK for s in start_k]  # 128-aligned origins
+    n_k = [pl.cdiv(stop_k[k] - base_k[k], G_CHUNK) for k in range(PAIR)]
     # tids[t] = GLOBAL tile index: under tile sharding (parallel/step_dp.py)
     # each device composites a slab of tiles, so the grid index is slab-local.
-    px, py, ox, oy = _pixel_coords(tids[t], grid_x)
+    oxy = [_tile_origin(tids[t0 + k], grid_x) for k in range(PAIR)]
+    ox = _pair_scalars([o[0] for o in oxy])  # [PAIR, 1, 1]
+    oy = _pair_scalars([o[1] for o in oxy])
+    px, py = _local_pixels()  # [N_PIX, 1]
+    pxp = jnp.broadcast_to(px[None], (PAIR, N_PIX, 1))
+    pyp = jnp.broadcast_to(py[None], (PAIR, N_PIX, 1))
     if subpixel:
         # per-pixel anti-aliasing offsets (forward.cu:311-317)
-        px = px + off_in[0, :, 0:1]
-        py = py + off_in[0, :, 1:2]
-    moms = _pixel_moments(px, py)
+        pxp = pxp + off_in[:, :, 0:1]
+        pyp = pyp + off_in[:, :, 1:2]
+    moms = _pixel_moments(pxp, pyp)  # [PAIR, N_PIX, 8]
     cumU = _cumsum_matrix()
 
-    acc_ref[:] = jnp.zeros((N_PIX, N_ACC), jnp.float32)
-    cum_ref[:] = jnp.ones((N_PIX, 1), jnp.float32)
-    tfin_ref[:] = jnp.full((N_PIX, 1), comp.T_SENTINEL, jnp.float32)
-    best_ref[:] = jnp.zeros((N_PIX, 1), jnp.float32)
-    bid_ref[:] = jnp.full((N_PIX, 1), -1, jnp.int32)
+    acc_ref[:] = jnp.zeros((PAIR, N_PIX, N_ACC), jnp.float32)
+    cum_ref[:] = jnp.ones((PAIR, N_PIX, 1), jnp.float32)
+    tfin_ref[:] = jnp.full((PAIR, N_PIX, 1), comp.T_SENTINEL, jnp.float32)
+    best_ref[:] = jnp.zeros((PAIR, N_PIX, 1), jnp.float32)
+    bid_ref[:] = jnp.full((PAIR, N_PIX, 1), -1, jnp.int32)
+    # A tile that runs out of chunks before its partner reads whatever its
+    # buffer pane holds (mask kills the weights, but 0 * NaN from truly
+    # uninitialized VMEM would still poison the feature matmul) — start from
+    # zeros so stale panes are always finite.
+    buf[:] = jnp.zeros(buf.shape, jnp.float32)
 
-    def start_dma(j, slot):
-        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+    def start_dma(k, j, slot):
+        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
         pltpu.make_async_copy(
-            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot], sem.at[slot]
+            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
         ).start()
         if track_idx:
             pltpu.make_async_copy(
-                gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[slot], gsem.at[slot]
+                gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[slot, k],
+                gsem.at[slot, k],
             ).start()
 
-    def wait_dma(j, slot):
-        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+    def wait_dma(k, j, slot):
+        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
         pltpu.make_async_copy(
-            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot], sem.at[slot]
+            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
         ).wait()
         if track_idx:
             pltpu.make_async_copy(
-                gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[slot], gsem.at[slot]
+                gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[slot, k],
+                gsem.at[slot, k],
             ).wait()
 
-    @pl.when(nchunks > 0)
-    def _():
-        start_dma(0, 0)
+    for k in range(PAIR):
+        @pl.when(n_k[k] > 0)
+        def _(k=k):
+            start_dma(k, 0, 0)
 
     def body(carry):
         j, _ = carry
         slot = jax.lax.rem(j, 2)
         # double-buffer: fetch chunk j+1 while blending chunk j
-        @pl.when(j + 1 < nchunks)
-        def _():
-            start_dma(j + 1, 1 - slot)
+        for k in range(PAIR):
+            @pl.when(j + 1 < n_k[k])
+            def _(k=k):
+                start_dma(k, j + 1, 1 - slot)
+            @pl.when(j < n_k[k])
+            def _(k=k):
+                wait_dma(k, j, slot)
 
-        wait_dma(j, slot)
-        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
-        chunk = buf[slot]
-        alpha, _, _, _ = _chunk_alpha(chunk, moms, start - off, stop - off,
-                                      ox, oy)
+        off = _pair_scalars_i32(
+            [base_k[k] + j * G_CHUNK for k in range(PAIR)]
+        )  # [PAIR, 1, 1]
+        lo = _pair_scalars_i32(start_k) - off
+        # exhausted tiles (j >= n_k): hi <= 0 masks the whole pane
+        hi = jnp.minimum(
+            _pair_scalars_i32(stop_k) - off, jnp.int32(G_CHUNK)
+        )
+        chunk = buf[slot]  # [PAIR, DATA_ROWS, G_CHUNK]
+        alpha, _, _, _ = _chunk_alpha(chunk, moms, lo, hi, ox, oy)
 
-        cum_in = cum_ref[:]  # [N_PIX, 1]
+        cum_in = cum_ref[:]  # [PAIR, N_PIX, 1]
         cum, cum_excl = _transmittance(alpha, cum_in, cumU)
         applied = (alpha > 0.0) & (cum >= comp.T_EPS)
         w = jnp.where(applied, alpha * cum_excl, 0.0)
 
-        feats = chunk[6:6 + N_ACC, :]  # [8, G]
+        feats = chunk[:, 6:6 + N_ACC, :]  # [PAIR, 8, G]
         acc_ref[:] += jax.lax.dot_general(
-            w, feats, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            w, feats, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
 
         chunk_min = jnp.min(
-            jnp.where(applied, cum, comp.T_SENTINEL), axis=1, keepdims=True
+            jnp.where(applied, cum, comp.T_SENTINEL), axis=2, keepdims=True
         )
         tfin_ref[:] = jnp.minimum(tfin_ref[:], chunk_min)
 
         if track_idx:
-            cmax = jnp.max(w, axis=1, keepdims=True)
-            ids = jnp.broadcast_to(gbuf[slot, 0:1, :], (N_PIX, G_CHUNK))
+            cmax = jnp.max(w, axis=2, keepdims=True)
+            ids = jnp.broadcast_to(gbuf[slot][:, 0:1, :], (PAIR, N_PIX, G_CHUNK))
             # id of the max-weight lane (min id among exact ties)
             cid = jnp.min(
                 jnp.where((w == cmax) & (cmax > 0), ids, jnp.int32(2**30)),
-                axis=1, keepdims=True,
+                axis=2, keepdims=True,
             )
             better = cmax > best_ref[:]
             best_ref[:] = jnp.where(better, cmax, best_ref[:])
             bid_ref[:] = jnp.where(better, cid, bid_ref[:])
 
-        new_cum = cum[:, -1:]
+        new_cum = cum[..., -1:]
         cum_ref[:] = new_cum
-        return j + 1, jnp.max(new_cum)
+        # per-tile alive signal: tile k continues while j < n_k and its max
+        # transmittance is above the latch
+        alive = False
+        for k in range(PAIR):
+            alive_k = (j + 1 < n_k[k]) & (jnp.max(new_cum[k]) >= comp.T_EPS)
+            alive = alive_k if alive is False else alive | alive_k
+        return j + 1, alive
 
     def cond(carry):
-        j, tmax = carry
-        return (j < nchunks) & (tmax >= comp.T_EPS)
+        j, alive = carry
+        return alive
 
-    j_exit, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+    any0 = False
+    for k in range(PAIR):
+        a = n_k[k] > 0
+        any0 = a if any0 is False else any0 | a
+    j_exit, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), any0))
 
-    # early exit leaves the prefetch for chunk j_exit in flight — drain it
-    @pl.when(j_exit < nchunks)
-    def _():
-        wait_dma(j_exit, jax.lax.rem(j_exit, 2))
+    # early exit leaves prefetches in flight — drain them per tile
+    for k in range(PAIR):
+        @pl.when(j_exit < n_k[k])
+        def _(k=k):
+            wait_dma(k, j_exit, jax.lax.rem(j_exit, 2))
 
-    accum_out[:] = acc_ref[:][None]
+    accum_out[:] = acc_ref[:]
     tfinal_out[:] = jnp.where(
         tfin_ref[:] >= comp.T_SENTINEL, cum_ref[:], tfin_ref[:]
-    )[None]
-    bestidx_out[:] = bid_ref[:][None]
+    )
+    bestidx_out[:] = bid_ref[:]
+
+
+def _pad_pair(arr, num_tiles, fill=0):
+    """Pad a leading tile axis up to a PAIR multiple (empty-tile sentinel)."""
+    t_pad = pl.cdiv(num_tiles, PAIR) * PAIR
+    if t_pad == num_tiles:
+        return arr
+    pad = [(0, t_pad - num_tiles)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, pad, constant_values=fill)
 
 
 def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
                     num_tiles, grid_x, interpret=False, track_idx=True):
     subpixel = subpixel_offsets is not None
     if not subpixel:  # dummy single block, never read
-        subpixel_offsets = jnp.zeros((1, N_PIX, 2), jnp.float32)
+        subpixel_offsets = jnp.zeros((PAIR, N_PIX, 2), jnp.float32)
+    else:
+        subpixel_offsets = _pad_pair(subpixel_offsets, num_tiles)
+    # pad to a PAIR multiple with empty tiles (start == stop == 0)
+    starts = _pad_pair(starts, num_tiles)
+    stops = _pad_pair(stops, num_tiles)
+    tids = _pad_pair(tids, num_tiles)
+    t_pad = starts.shape[0]
     kernel = functools.partial(_forward_kernel, grid_x=grid_x,
                                track_idx=track_idx, subpixel=subpixel)
-    off_map = (lambda t, *_: (t, 0, 0)) if subpixel else (lambda t, *_: (0, 0, 0))
+    off_map = (lambda p, *_: (p, 0, 0)) if subpixel else (lambda p, *_: (0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(t_pad // PAIR,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, N_PIX, 2), off_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((PAIR, N_PIX, 2), off_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, N_PIX, N_ACC), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((PAIR, N_PIX, N_ACC), lambda p, *_: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_PIX, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((PAIR, N_PIX, 1), lambda p, *_: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_PIX, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((PAIR, N_PIX, 1), lambda p, *_: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, DATA_ROWS, G_CHUNK), jnp.float32),  # buf x2
-            pltpu.VMEM((2, 1, G_CHUNK), jnp.int32),  # gbuf x2
-            pltpu.VMEM((N_PIX, 1), jnp.float32),  # cum
-            pltpu.VMEM((N_PIX, 1), jnp.float32),  # tfin
-            pltpu.VMEM((N_PIX, 1), jnp.float32),  # best w
-            pltpu.VMEM((N_PIX, 1), jnp.int32),  # best id
-            pltpu.VMEM((N_PIX, N_ACC), jnp.float32),  # accum
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # buf x2
+            pltpu.VMEM((2, PAIR, 1, G_CHUNK), jnp.int32),  # gbuf x2
+            pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # cum
+            pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # tfin
+            pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # best w
+            pltpu.VMEM((PAIR, N_PIX, 1), jnp.int32),  # best id
+            pltpu.VMEM((PAIR, N_PIX, N_ACC), jnp.float32),  # accum
+            pltpu.SemaphoreType.DMA((2, PAIR)),
+            pltpu.SemaphoreType.DMA((2, PAIR)),
         ],
     )
-    return pl.pallas_call(
+    accum, tfinal, bestidx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, N_PIX, N_ACC), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, N_PIX, 1), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, N_PIX, 1), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad, N_PIX, N_ACC), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, N_PIX, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, N_PIX, 1), jnp.int32),
         ],
         interpret=interpret,
     )(starts, stops, tids, data, gid, subpixel_offsets)
+    return accum[:num_tiles], tfinal[:num_tiles], bestidx[:num_tiles]
 
 
 # ---------------------------------------------------------------------------
@@ -354,8 +483,10 @@ def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
 
 def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
                      tfin_in, off_in, _zeros_in, dgrad_out, buf, cum_ref,
-                     pref_ref, dbuf, sem, wsem, *, grid_x, subpixel):
-    """Recompute the forward walk per tile; emit per-instance gradients.
+                     pref_ref, dbuf, bw0_ref, sem, wsem, bsem, *, grid_x,
+                     subpixel):
+    """Recompute the forward walk for a PAIR of adjacent tiles (batched pair
+    axis, see _forward_kernel); emit per-instance gradients.
 
     dgrad rows: 0 dxy_x, 1 dxy_y, 2 dconic_a, 3 dconic_b, 4 dconic_c,
                 5 dopac, 6..13 dfeat (r g b depth fx fy fz one), 14-15 zero.
@@ -366,56 +497,84 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
                     - (S_i + t_final * g_end) / (1 - alpha_i)
     with S_i = sum_{j>i} w_j (c_j . gc) = (A_c . gc) - prefix_i and
     g_end = bg . gc + (direct t_final cotangent); this is the closed form of
-    the reference's back-to-front recurrence (backward.cu:552-660)."""
-    t = pl.program_id(0)
-    start = starts[t]
-    stop = stops[t]
-    base = (start // G_CHUNK) * G_CHUNK  # 128-aligned DMA origin
-    nchunks = pl.cdiv(stop - base, G_CHUNK)
-    px, py, ox, oy = _pixel_coords(tids[t], grid_x)
-    if subpixel:
-        px = px + off_in[0, :, 0:1]
-        py = py + off_in[0, :, 1:2]
+    the reference's back-to-front recurrence (backward.cu:552-660).
 
-    cum_ref[:] = jnp.ones((N_PIX, 1), jnp.float32)
-    pref_ref[:] = jnp.zeros((N_PIX, 1), jnp.float32)
-    gacc = gacc_in[0]  # [N_PIX, N_ACC]
-    gc_r = gacc[:, 0:1]
-    gc_g = gacc[:, 1:2]
-    gc_b = gacc[:, 2:3]
-    acdot = acdot_in[0]  # [N_PIX, 1]
-    tf_term = gend_in[0] * tfin_in[0]  # [N_PIX, 1]
-    moms = _pixel_moments(px, py)  # [N_PIX, 8]
+    Gradient-window discipline (128-aligned windows, sequential grid):
+    * pane A (tile 2p): window 0 is read-modify-write (it may straddle the
+      previous program's last window — fully flushed by its epilogue);
+      windows >= 1 are plain double-buffered writes.
+    * pane B (tile 2p+1): its FIRST window may be pane A's last window, and A
+      is still streaming when B starts — so B's window-0 gradients accumulate
+      in a resident VMEM buffer (bw0_ref) and are merged read-modify-write in
+      the epilogue, after every A write (incl. zero-fill) has completed.
+      B windows >= 1 start past A's range (adjacent ranges are contiguous)
+      and are plain writes."""
+    p = pl.program_id(0)
+    t0 = p * PAIR
+    start_k = [starts[t0 + k] for k in range(PAIR)]
+    stop_k = [stops[t0 + k] for k in range(PAIR)]
+    base_k = [(s // G_CHUNK) * G_CHUNK for s in start_k]
+    n_k = [pl.cdiv(stop_k[k] - base_k[k], G_CHUNK) for k in range(PAIR)]
+    oxy = [_tile_origin(tids[t0 + k], grid_x) for k in range(PAIR)]
+    ox = _pair_scalars([o[0] for o in oxy])
+    oy = _pair_scalars([o[1] for o in oxy])
+    px, py = _local_pixels()
+    pxp = jnp.broadcast_to(px[None], (PAIR, N_PIX, 1))
+    pyp = jnp.broadcast_to(py[None], (PAIR, N_PIX, 1))
+    if subpixel:
+        pxp = pxp + off_in[:, :, 0:1]
+        pyp = pyp + off_in[:, :, 1:2]
+
+    cum_ref[:] = jnp.ones((PAIR, N_PIX, 1), jnp.float32)
+    pref_ref[:] = jnp.zeros((PAIR, N_PIX, 1), jnp.float32)
+    bw0_ref[:] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
+    buf[:] = jnp.zeros(buf.shape, jnp.float32)  # stale panes must be finite
+    gacc = gacc_in[:]  # [PAIR, N_PIX, N_ACC]
+    gc_r = gacc[:, :, 0:1]
+    gc_g = gacc[:, :, 1:2]
+    gc_b = gacc[:, :, 2:3]
+    acdot = acdot_in[:]  # [PAIR, N_PIX, 1]
+    tf_term = gend_in[:] * tfin_in[:]  # [PAIR, N_PIX, 1]
+    moms = _pixel_moments(pxp, pyp)  # [PAIR, N_PIX, 8]
     cumU = _cumsum_matrix()
 
-    def start_read(j, slot):
-        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+    def start_read(k, j, slot):
+        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
         pltpu.make_async_copy(
-            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot], sem.at[slot]
+            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
         ).start()
 
-    def wait_read(j, slot):
-        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+    def wait_read(k, j, slot):
+        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
         pltpu.make_async_copy(
-            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot], sem.at[slot]
+            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
         ).wait()
 
-    def wait_write(j, slot):
-        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
+    def start_write(k, j, slot):
+        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
         pltpu.make_async_copy(
-            dbuf.at[slot], dgrad_out.at[:, pl.ds(off, G_CHUNK)], wsem.at[slot]
+            dbuf.at[slot, k], dgrad_out.at[:, pl.ds(off, G_CHUNK)],
+            wsem.at[slot, k],
+        ).start()
+
+    def wait_write(k, j, slot):
+        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
+        pltpu.make_async_copy(
+            dbuf.at[slot, k], dgrad_out.at[:, pl.ds(off, G_CHUNK)],
+            wsem.at[slot, k],
         ).wait()
 
-    @pl.when(nchunks > 0)
+    for k in range(PAIR):
+        @pl.when(n_k[k] > 0)
+        def _(k=k):
+            start_read(k, 0, 0)
+
+    @pl.when(n_k[0] > 0)
     def _():
-        start_read(0, 0)
-        # window 0 may straddle the previous tile's range (128-aligned
-        # windows): read-modify-write it. Windows >= 1 are exclusively ours
-        # (and overwrite any zero-fill the previous tile spilled into them),
-        # so they are plain writes. Sequential grid => race-free.
+        # pane A window-0 read-modify-write seed
         rdma = pltpu.make_async_copy(
-            dgrad_out.at[:, pl.ds(pl.multiple_of(base, G_CHUNK), G_CHUNK)],
-            dbuf.at[0], wsem.at[0],
+            dgrad_out.at[:, pl.ds(pl.multiple_of(base_k[0], G_CHUNK), G_CHUNK)],
+            dbuf.at[0, 0], wsem.at[0, 0],
         )
         rdma.start()
         rdma.wait()
@@ -423,22 +582,34 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     def body(carry):
         j, _ = carry
         slot = jax.lax.rem(j, 2)
-        @pl.when(j + 1 < nchunks)
+        for k in range(PAIR):
+            @pl.when(j + 1 < n_k[k])
+            def _(k=k):
+                start_read(k, j + 1, 1 - slot)
+            @pl.when(j < n_k[k])
+            def _(k=k):
+                wait_read(k, j, slot)
+
+        # drain the writes that last used this slot (chunk j-2) per pane;
+        # pane B has no in-flight write for chunk 0 (held in bw0_ref)
+        @pl.when((j >= 2) & (j - 2 < n_k[0]))
         def _():
-            start_read(j + 1, 1 - slot)
-        wait_read(j, slot)
-        off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
-        # double-buffered grad writes: drain the write that last used this
-        # dbuf slot (chunk j-2) before reusing it
-        @pl.when(j >= 2)
+            wait_write(0, j - 2, slot)
+        @pl.when((j >= 3) & (j - 2 < n_k[1]))
         def _():
-            wait_write(j - 2, slot)
-        @pl.when(j > 0)
+            wait_write(1, j - 2, slot)
+        @pl.when((j > 0) & (j < n_k[0]))
         def _():
-            dbuf[slot] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
-        chunk = buf[slot]
-        alpha, alpha_raw, expt, _ = _chunk_alpha(chunk, moms, start - off,
-                                                 stop - off, ox, oy)
+            dbuf[slot, 0] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
+        @pl.when((j > 0) & (j < n_k[1]))
+        def _():
+            dbuf[slot, 1] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
+
+        off = _pair_scalars_i32([base_k[k] + j * G_CHUNK for k in range(PAIR)])
+        lo = _pair_scalars_i32(start_k) - off
+        hi = _pair_scalars_i32(stop_k) - off
+        chunk = buf[slot]  # [PAIR, DATA_ROWS, G_CHUNK]
+        alpha, alpha_raw, expt, _ = _chunk_alpha(chunk, moms, lo, hi, ox, oy)
 
         one_m = 1.0 - alpha
         cum_in = cum_ref[:]
@@ -446,7 +617,8 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
         applied = (alpha > 0.0) & (cum >= comp.T_EPS)
         w = jnp.where(applied, alpha * cum_excl, 0.0)
 
-        cdot = chunk[6:7, :] * gc_r + chunk[7:8, :] * gc_g + chunk[8:9, :] * gc_b
+        cdot = (chunk[:, 6:7, :] * gc_r + chunk[:, 7:8, :] * gc_g
+                + chunk[:, 8:9, :] * gc_b)
         wc = w * cdot
         incl = _lane_cumsum(wc, cumU) + pref_ref[:]
         s_i = acdot - incl
@@ -457,87 +629,139 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
             0.0,
         )
 
-        # features: [G, N_ACC] = W^T @ g_accum
+        # features: [PAIR, G, N_ACC] = W^T @ g_accum
         dfeat = jax.lax.dot_general(
-            w, gacc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-        dl_dpower = alpha_raw * dl_dalpha  # [N_PIX, G]
-        dl_dopac = jnp.sum(expt * dl_dalpha, axis=0)[None, :]  # [1, G]
-
-        # pixel-moment reduction: [G, 8] (last 2 cols are zero padding)
-        pm = jax.lax.dot_general(
-            dl_dpower, moms, (((0,), (0,)), ((), ())),
+            w, gacc, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        s0 = pm[:, 0:1].T  # [1, G]
-        sx = pm[:, 1:2].T
-        sy = pm[:, 2:3].T
-        sxx = pm[:, 3:4].T
-        sxy = pm[:, 4:5].T
-        syy = pm[:, 5:6].T
-        xg = chunk[0:1, :] - ox  # tile-local, consistent with moms
-        yg = chunk[1:2, :] - oy
-        ca = chunk[2:3, :]
-        cb = chunk[3:4, :]
-        cc = chunk[4:5, :]
-        # dpower/dxg = -(ca*dx + cb*dy), dx = xg - px:
-        dbuf[slot, 0:1, :] += -(ca * (xg * s0 - sx) + cb * (yg * s0 - sy))
-        dbuf[slot, 1:2, :] += -(cc * (yg * s0 - sy) + cb * (xg * s0 - sx))
-        # dpower/dca = -0.5 dx^2 -> sum dx^2 dlp = xg^2 s0 - 2 xg sx + sxx
-        dbuf[slot, 2:3, :] += -0.5 * (xg * xg * s0 - 2.0 * xg * sx + sxx)
-        dbuf[slot, 3:4, :] += -(xg * yg * s0 - yg * sx - xg * sy + sxy)
-        dbuf[slot, 4:5, :] += -0.5 * (yg * yg * s0 - 2.0 * yg * sy + syy)
-        dbuf[slot, 5:6, :] += dl_dopac
-        dbuf[slot, 6:6 + N_ACC, :] += dfeat.T
 
-        pltpu.make_async_copy(
-            dbuf.at[slot], dgrad_out.at[:, pl.ds(off, G_CHUNK)], wsem.at[slot]
-        ).start()  # drained by chunk j+2 (or the epilogue)
+        dl_dpower = alpha_raw * dl_dalpha  # [PAIR, N_PIX, G]
+        dl_dopac = jnp.sum(expt * dl_dalpha, axis=1)[:, None, :]  # [PAIR,1,G]
 
-        pref_ref[:] = incl[:, -1:]
-        new_cum = cum[:, -1:]
+        # pixel-moment reduction: [PAIR, G, 8] (last 2 cols zero padding)
+        pm = jax.lax.dot_general(
+            dl_dpower, moms, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        pmt = jnp.swapaxes(pm, 1, 2)  # [PAIR, 8, G]
+        s0 = pmt[:, 0:1, :]
+        sx = pmt[:, 1:2, :]
+        sy = pmt[:, 2:3, :]
+        sxx = pmt[:, 3:4, :]
+        sxy = pmt[:, 4:5, :]
+        syy = pmt[:, 5:6, :]
+        xg = chunk[:, 0:1, :] - ox  # tile-local, consistent with moms
+        yg = chunk[:, 1:2, :] - oy
+        ca = chunk[:, 2:3, :]
+        cb = chunk[:, 3:4, :]
+        cc = chunk[:, 4:5, :]
+        gchunk = jnp.concatenate([
+            # dpower/dxg = -(ca*dx + cb*dy), dx = xg - px:
+            -(ca * (xg * s0 - sx) + cb * (yg * s0 - sy)),
+            -(cc * (yg * s0 - sy) + cb * (xg * s0 - sx)),
+            # dpower/dca = -0.5 dx^2 -> sum dx^2 dlp = xg^2 s0 - 2 xg sx + sxx
+            -0.5 * (xg * xg * s0 - 2.0 * xg * sx + sxx),
+            -(xg * yg * s0 - yg * sx - xg * sy + sxy),
+            -0.5 * (yg * yg * s0 - 2.0 * yg * sy + syy),
+            dl_dopac,
+            jnp.swapaxes(dfeat, 1, 2),  # [PAIR, 8, G]
+            jnp.zeros((PAIR, 2, G_CHUNK), jnp.float32),
+        ], axis=1)  # [PAIR, DATA_ROWS, G_CHUNK]
+
+        @pl.when(j < n_k[0])
+        def _():
+            dbuf[slot, 0] += gchunk[0]
+            start_write(0, j, slot)
+        @pl.when(j < n_k[1])
+        def _():
+            @pl.when(j == 0)
+            def _():
+                bw0_ref[:] += gchunk[1]
+            @pl.when(j > 0)
+            def _():
+                dbuf[slot, 1] += gchunk[1]
+                start_write(1, j, slot)
+
+        pref_ref[:] = incl[..., -1:]
+        new_cum = cum[..., -1:]
         cum_ref[:] = new_cum
-        return j + 1, jnp.max(new_cum)
+        alive = False
+        for k in range(PAIR):
+            alive_k = (j + 1 < n_k[k]) & (jnp.max(new_cum[k]) >= comp.T_EPS)
+            alive = alive_k if alive is False else alive | alive_k
+        return j + 1, alive
 
     def cond(carry):
-        j, tmax = carry
-        return (j < nchunks) & (tmax >= comp.T_EPS)
+        j, alive = carry
+        return alive
 
-    j_exit, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+    any0 = False
+    for k in range(PAIR):
+        a = n_k[k] > 0
+        any0 = a if any0 is False else any0 | a
+    j_exit, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), any0))
 
-    # drain the in-flight prefetch if the latch fired early
-    @pl.when(j_exit < nchunks)
+    # drain in-flight prefetches if the latch fired early
+    for k in range(PAIR):
+        @pl.when(j_exit < n_k[k])
+        def _(k=k):
+            wait_read(k, j_exit, jax.lax.rem(j_exit, 2))
+
+    # drain outstanding grad writes per pane (the last one or two chunks);
+    # pane B's chunk-0 "write" lives in bw0_ref, not a DMA
+    last_a = jnp.minimum(j_exit, n_k[0])
+    @pl.when(last_a >= 2)
     def _():
-        wait_read(j_exit, jax.lax.rem(j_exit, 2))
-
-    # drain outstanding grad writes (the last one or two chunks)
-    @pl.when(j_exit >= 2)
+        wait_write(0, last_a - 2, jax.lax.rem(last_a - 2, 2))
+    @pl.when(last_a >= 1)
     def _():
-        wait_write(j_exit - 2, jax.lax.rem(j_exit - 2, 2))
-    @pl.when(j_exit >= 1)
+        wait_write(0, last_a - 1, jax.lax.rem(last_a - 1, 2))
+    last_b = jnp.minimum(j_exit, n_k[1])
+    @pl.when(last_b >= 3)
     def _():
-        wait_write(j_exit - 1, jax.lax.rem(j_exit - 1, 2))
-
-    # zero-fill the never-computed windows: post-latch instances have exactly
-    # zero gradients, but their output slice must still be initialized (the
-    # aliased zeros input only covers windows no tile ever touches... and the
-    # next tile's first-window RMW must read zeros here, not garbage from a
-    # skipped write).
-    @pl.when(j_exit < nchunks)
+        wait_write(1, last_b - 2, jax.lax.rem(last_b - 2, 2))
+    @pl.when(last_b >= 2)
     def _():
-        dbuf[0] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
+        wait_write(1, last_b - 1, jax.lax.rem(last_b - 1, 2))
 
-        def zbody(j, _):
-            off = pl.multiple_of(base + j * G_CHUNK, G_CHUNK)
-            zdma = pltpu.make_async_copy(
-                dbuf.at[0], dgrad_out.at[:, pl.ds(off, G_CHUNK)], wsem.at[0]
-            )
-            zdma.start()
-            zdma.wait()
-            return 0
+    # zero-fill never-computed windows (post-latch gradients are exactly
+    # zero, but the output slice must be initialized — and pane A's fills
+    # must land before pane B's window-0 merge below reads them). Pane B
+    # fills start at window max(j_exit, 1): window 0 is merged from bw0_ref.
+    for k in range(PAIR):
+        @pl.when(j_exit < n_k[k])
+        def _(k=k):
+            dbuf[0, k] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
+            lo_j = jnp.maximum(j_exit, 1) if k == 1 else j_exit
 
-        jax.lax.fori_loop(j_exit, nchunks, zbody, 0)
+            def zbody(j, _):
+                off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
+                zdma = pltpu.make_async_copy(
+                    dbuf.at[0, k], dgrad_out.at[:, pl.ds(off, G_CHUNK)],
+                    wsem.at[0, k],
+                )
+                zdma.start()
+                zdma.wait()
+                return 0
+
+            jax.lax.fori_loop(lo_j, n_k[k], zbody, 0)
+
+    # merge pane B's window-0 gradients: read-modify-write AFTER every pane A
+    # write has completed (A's last window may be this very window)
+    @pl.when(n_k[1] > 0)
+    def _():
+        off = pl.multiple_of(base_k[1], G_CHUNK)
+        rdma = pltpu.make_async_copy(
+            dgrad_out.at[:, pl.ds(off, G_CHUNK)], dbuf.at[1, 1], bsem
+        )
+        rdma.start()
+        rdma.wait()
+        dbuf[1, 1] += bw0_ref[:]
+        wdma = pltpu.make_async_copy(
+            dbuf.at[1, 1], dgrad_out.at[:, pl.ds(off, G_CHUNK)], bsem
+        )
+        wdma.start()
+        wdma.wait()
 
 
 def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
@@ -546,34 +770,46 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
     capacity = data.shape[1]
     subpixel = subpixel_offsets is not None
     if not subpixel:
-        subpixel_offsets = jnp.zeros((1, N_PIX, 2), jnp.float32)
+        subpixel_offsets = jnp.zeros((PAIR, N_PIX, 2), jnp.float32)
+    else:
+        subpixel_offsets = _pad_pair(subpixel_offsets, num_tiles)
+    starts = _pad_pair(starts, num_tiles)
+    stops = _pad_pair(stops, num_tiles)
+    tids = _pad_pair(tids, num_tiles)
+    gacc = _pad_pair(gacc, num_tiles)
+    acdot = _pad_pair(acdot, num_tiles)
+    gend = _pad_pair(gend, num_tiles)
+    tfin = _pad_pair(tfin, num_tiles)
+    t_pad = starts.shape[0]
     kernel = functools.partial(_backward_kernel, grid_x=grid_x,
                                subpixel=subpixel)
-    off_map = (lambda t, *_: (t, 0, 0)) if subpixel else (lambda t, *_: (0, 0, 0))
+    off_map = (lambda p, *_: (p, 0, 0)) if subpixel else (lambda p, *_: (0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(t_pad // PAIR,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # data
-            pl.BlockSpec((1, N_PIX, N_ACC), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((PAIR, N_PIX, N_ACC), lambda p, *_: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_PIX, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((PAIR, N_PIX, 1), lambda p, *_: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_PIX, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((PAIR, N_PIX, 1), lambda p, *_: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_PIX, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((PAIR, N_PIX, 1), lambda p, *_: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_PIX, 2), off_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((PAIR, N_PIX, 2), off_map, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # dgrad zero-init (aliased)
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, DATA_ROWS, G_CHUNK), jnp.float32),  # buf x2
-            pltpu.VMEM((N_PIX, 1), jnp.float32),  # cum
-            pltpu.VMEM((N_PIX, 1), jnp.float32),  # prefix
-            pltpu.VMEM((2, DATA_ROWS, G_CHUNK), jnp.float32),  # dbuf x2
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # buf x2
+            pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # cum
+            pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # prefix
+            pltpu.VMEM((2, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # dbuf x2
+            pltpu.VMEM((DATA_ROWS, G_CHUNK), jnp.float32),  # pane-B window 0
+            pltpu.SemaphoreType.DMA((2, PAIR)),
+            pltpu.SemaphoreType.DMA((2, PAIR)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     zeros = jnp.zeros((DATA_ROWS, capacity), jnp.float32)

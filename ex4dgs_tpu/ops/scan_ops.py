@@ -15,6 +15,29 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def blocked_cumsum_2d(x: jnp.ndarray, cols: int = 1024) -> jnp.ndarray:
+    """Inclusive cumsum along axis 0 of a [n, k] array, one independent scan
+    per column, with the scan direction laid on the SUBLANE axis.
+
+    Used by the pack-gather VJP (ops/rasterize_pallas.py) where n is the
+    multi-million instance capacity and k = 16 packed feature rows: XLA's
+    native axis-0 cumsum of [n, 16] is a log-depth rotate chain over n.
+    """
+    n, k = x.shape
+    if n % cols != 0 or n < cols * 8:
+        return jnp.cumsum(x, axis=0)
+    rows = n // cols
+    # element i -> (i % rows, i // rows): column-major blocks down sublanes
+    m = x.reshape(cols, rows, k).transpose(1, 0, 2).reshape(rows, cols * k)
+    col_cum = jnp.cumsum(m, axis=0)
+    carry = col_cum[-1].reshape(cols, k)
+    carry = jnp.concatenate(
+        [jnp.zeros((1, k), x.dtype), jnp.cumsum(carry, axis=0)[:-1]], axis=0
+    )  # [cols, k] exclusive prefix of block sums (sublane scan, tiny)
+    out = col_cum.reshape(rows, cols, k) + carry[None]
+    return out.transpose(1, 0, 2).reshape(n, k)
+
+
 def blocked_cumsum(x: jnp.ndarray, cols: int = 1024) -> jnp.ndarray:
     """Inclusive cumsum of a 1-D array, O(N) sublane-direction work.
 

@@ -155,3 +155,31 @@ def test_pallas_subpixel_offset_matches_jnp():
         max_depth=100.0, interpret=True,
     )
     assert float(jnp.abs(out.color - base.color).max()) > 1e-3
+
+
+def test_pack_gather_segment_vjp_matches_scatter():
+    """The pack-gather custom VJP (sort-by-Gaussian + prefix segment sums)
+    must equal autodiff's scatter-add, including clipped sentinel tails."""
+    rng = np.random.default_rng(3)
+    P, cap = 53, 512
+    counts = rng.integers(0, 11, P).astype(np.int32)
+    counts[rng.integers(0, P, 5)] = 0  # culled Gaussians
+    cum = np.cumsum(counts).astype(np.int32)
+    total = int(cum[-1])
+    expand = np.repeat(np.arange(P, dtype=np.int32), counts)
+    order = np.full(cap, P - 1, np.int32)  # sentinel tail clips to last id
+    order[:total] = expand[rng.permutation(total)]
+    cols = rng.normal(size=(P, 16)).astype(np.float32)
+    ct = rng.normal(size=(16, cap)).astype(np.float32)
+    ct[:, total:] = 0.0  # composite_bwd masks the sentinel tail
+
+    def f(c):
+        return (rp._gather_rows_t(c, jnp.asarray(order), jnp.asarray(cum),
+                                  jnp.asarray(counts)) * ct).sum()
+
+    def f_ref(c):
+        return (jnp.take(c, jnp.asarray(order), axis=0).T * ct).sum()
+
+    g1 = jax.grad(f)(jnp.asarray(cols))
+    g2 = jax.grad(f_ref)(jnp.asarray(cols))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)
