@@ -1,0 +1,145 @@
+"""BASELINE fill-in row 2: dynamic keyframe-interpolation unit scene.
+
+50k static + 5k dynamic Gaussians, 8 timesteps, 800x600 (BASELINE.json
+config 2). Ground truth frames are rendered from a synthetic scene through
+the jnp oracle; training runs the production pallas backend with the full
+densify/extract/progressive schedule on 9 ring cameras, evaluating on a
+held-out camera (the N3V cam00 analog). Reports PSNR / SSIM (torch-style) /
+SSIM (skimage-style) on the held-out views plus train + render throughput.
+"""
+import json
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ex4dgs_tpu.data.cameras import CameraInfo
+from ex4dgs_tpu.data.readers import PointCloud, SceneInfo
+from ex4dgs_tpu.data.scene import Scene
+from ex4dgs_tpu.eval.metrics import ssim as ssim_torch
+from ex4dgs_tpu.eval.metrics import ssim_skimage
+from ex4dgs_tpu.models import ModelConfig, OptimizationConfig
+from ex4dgs_tpu.ops.losses import psnr
+from ex4dgs_tpu.ops.math3d import sh0_to_rgb
+from ex4dgs_tpu.rendering import render
+from ex4dgs_tpu.synthetic import make_scene, ring_cameras
+from ex4dgs_tpu.train.trainer import Trainer
+
+W, H = 800, 600
+N_CAMS, N_T = 10, 8
+ITERS = int(os.environ.get("Q2_ITERS", 3000))
+CAPACITY = 1024 * 1024
+
+cfg = ModelConfig(time_interval=2, time_pad=1, start_duration=4, duration=8,
+                  near=0.2, far=50.0, resolution=1)
+target, _ = make_scene(n_static=50_000, n_dynamic=5_000, duration=8.0, seed=7,
+                       static_capacity=65_536, dynamic_capacity=8_192, cfg=cfg)
+cams = ring_cameras(N_CAMS, 3.0, W, H, far=cfg.far)
+fov = math.radians(60)
+
+out_dir = "/tmp/q2_frames"
+os.makedirs(out_dir, exist_ok=True)
+infos = []
+for ci, cam in enumerate(cams):
+    for t in range(N_T):
+        path = os.path.join(out_dir, f"c{ci}_t{t}.png")
+        if not os.path.exists(path):
+            img = render(cam, target, cfg, t=jnp.asarray(float(t)),
+                         bg=jnp.zeros(3), capacity=CAPACITY,
+                         max_per_tile=4096, backend="jnp").render
+            img = np.clip(np.asarray(img), 0, 1)
+            Image.fromarray((img * 255).astype(np.uint8)).save(path)
+        view = np.asarray(cam.view)
+        infos.append(CameraInfo(
+            uid=ci, R=view[:3, :3].T, T=view[:3, 3], fovx=fov, fovy=fov,
+            image_path=path, image_name=f"c{ci}_t{t}.png", width=W, height=H,
+            near=cfg.near, far=cfg.far, timestamp=float(t),
+        ))
+print("GT frames rendered", flush=True)
+
+# held-out camera 0 = the test split (N3V cam00 analog)
+test_infos = [i for i in infos if i.uid == 0]
+train_infos = [i for i in infos if i.uid != 0]
+
+rng = np.random.default_rng(0)
+n = 30_000
+pts0 = np.asarray(target.params["xyz"][:n]) + rng.normal(
+    scale=0.02, size=(n, 3)).astype(np.float32)
+cols0 = np.clip(np.asarray(sh0_to_rgb(target.params["f_dc"][:n, 0])), 0, 1)
+
+opt = OptimizationConfig(
+    iterations=ITERS,
+    position_lr_init=0.0016, position_lr_final=0.00016,
+    feature_lr=0.025, opacity_lr=0.05, scaling_lr=0.005, disp_lr=0.001,
+    densification_interval=200, densify_from_iter=400,
+    densify_until_iter=int(ITERS * 0.6),
+    extract_from_iter=400, extracton_interval=500,
+    progressive_growing_steps=600, make_dynamic_interval=100,
+    prune_invisible_interval=10_000,
+    random_background=False, static_reg=0.0,
+)
+
+info = SceneInfo(
+    point_cloud=PointCloud(pts0, cols0),
+    train_cameras=train_infos,
+    test_cameras=test_infos,
+    nerf_normalization={"translate": np.zeros(3), "radius": 3.0},
+    ply_path="",
+)
+scene = Scene(cfg, scene_info=info)
+tr = Trainer(cfg, opt, scene, capacity=CAPACITY, max_per_tile=4096,
+             seed=1, backend="pallas")
+t0 = time.time()
+tr.train(iterations=ITERS)
+wall = time.time() - t0
+mpix_train = ITERS * W * H / wall / 1e6  # incl. schedule/host events
+
+# held-out metrics (production pallas renderer)
+rows = []
+for inf in test_infos:
+    gt = np.asarray(Image.open(inf.image_path), np.float32)[..., :3] / 255.0
+    img = render(cams[inf.uid], tr.model, cfg, t=jnp.asarray(inf.timestamp),
+                 bg=jnp.zeros(3), capacity=CAPACITY, max_per_tile=4096,
+                 backend="pallas").render
+    img = np.clip(np.asarray(img), 0, 1)
+    rows.append({
+        "name": inf.image_name,
+        "psnr": float(psnr(jnp.asarray(img), jnp.asarray(gt))),
+        "ssim": float(ssim_torch(img, gt)),
+        "ssim_sk": float(ssim_skimage(img, gt)),
+    })
+    print(rows[-1], flush=True)
+
+# render-only FPS on the production path (one camera re-rendered; the
+# reference recipe is 20x500 with 100 warmup — use 5x100/50 here to keep the
+# single-chip queue reasonable, same estimator)
+rfn = jax.jit(lambda m, t: render(
+    cams[1], m, cfg, t=t, bg=jnp.zeros(3), capacity=CAPACITY,
+    max_per_tile=4096, backend="pallas").render)
+for _ in range(50):
+    rfn(tr.model, jnp.asarray(1.0)).block_until_ready()
+t0 = time.time()
+R = 500
+for _ in range(R):
+    rfn(tr.model, jnp.asarray(1.0)).block_until_ready()
+dt = time.time() - t0
+fps = R / dt
+
+summary = {
+    "config": "2. 50k static + 5k dynamic, 8 timesteps, 800x600",
+    "iters": ITERS,
+    "psnr": float(np.mean([r["psnr"] for r in rows])),
+    "ssim": float(np.mean([r["ssim"] for r in rows])),
+    "ssim_sk": float(np.mean([r["ssim_sk"] for r in rows])),
+    "train_wall_s": round(wall, 1),
+    "train_mpix_s": round(mpix_train, 2),
+    "render_fps": round(fps, 1),
+    "render_mpix_s": round(fps * W * H / 1e6, 1),
+    "n_static": int(tr.model.n_static()),
+    "n_dynamic": int(tr.model.n_dynamic()),
+}
+print("SUMMARY " + json.dumps(summary), flush=True)

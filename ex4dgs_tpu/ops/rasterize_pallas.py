@@ -223,8 +223,13 @@ def _chunk_alpha(chunk, moms, lo, hi, ox, oy):
     expt = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = op * expt
     alpha_c = jnp.minimum(alpha_raw, comp.ALPHA_MAX)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (PAIR, N_PIX, G_CHUNK), 2)
-    m = (lane >= lo) & (lane < hi) & (power <= 0.0) & (alpha_c >= comp.ALPHA_MIN)
+    # Lane-window mask computed at [PAIR, 1, G]: comparing a full-shape iota
+    # against [PAIR, 1, 1] scalars would need a sublane+lane broadcast, which
+    # Mosaic can't lower; two single-axis broadcasts (lanes here, sublanes at
+    # the & below) express the same thing.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (PAIR, 1, G_CHUNK), 2)
+    lane_m = (lane >= lo) & (lane < hi)
+    m = lane_m & (power <= 0.0) & (alpha_c >= comp.ALPHA_MIN)
     alpha = jnp.where(m, alpha_c, 0.0)
     return alpha, jnp.where(m, alpha_raw, 0.0), jnp.where(m, expt, 0.0), m
 
@@ -707,20 +712,24 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
         def _(k=k):
             wait_read(k, j_exit, jax.lax.rem(j_exit, 2))
 
-    # drain outstanding grad writes per pane (the last one or two chunks);
-    # pane B's chunk-0 "write" lives in bw0_ref, not a DMA
+    # Drain outstanding grad writes per pane. The in-loop drain already waited
+    # every chunk <= j_exit - 3, so only chunks >= j_exit - 2 can still be in
+    # flight — re-waiting an already-consumed DMA semaphore deadlocks the
+    # device, so the epilogue must skip chunks the loop drained (a pane that
+    # exhausted before its partner has none outstanding at all). Pane B's
+    # chunk-0 "write" lives in bw0_ref, not a DMA.
     last_a = jnp.minimum(j_exit, n_k[0])
-    @pl.when(last_a >= 2)
+    @pl.when((last_a >= 2) & (last_a - 2 >= j_exit - 2))
     def _():
         wait_write(0, last_a - 2, jax.lax.rem(last_a - 2, 2))
-    @pl.when(last_a >= 1)
+    @pl.when((last_a >= 1) & (last_a - 1 >= j_exit - 2))
     def _():
         wait_write(0, last_a - 1, jax.lax.rem(last_a - 1, 2))
     last_b = jnp.minimum(j_exit, n_k[1])
-    @pl.when(last_b >= 3)
+    @pl.when((last_b >= 3) & (last_b - 2 >= j_exit - 2))
     def _():
         wait_write(1, last_b - 2, jax.lax.rem(last_b - 2, 2))
-    @pl.when(last_b >= 2)
+    @pl.when((last_b >= 2) & (last_b - 1 >= j_exit - 2))
     def _():
         wait_write(1, last_b - 1, jax.lax.rem(last_b - 1, 2))
 

@@ -12,6 +12,7 @@ and only the tiny [cols] carry array needs a lane-direction scan.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -57,3 +58,29 @@ def blocked_cumsum(x: jnp.ndarray, cols: int = 1024) -> jnp.ndarray:
     )  # [cols] exclusive prefix of column sums (tiny lane-direction scan)
     out = col_cum + carry[None, :]
     return out.T.reshape(n)
+
+
+def blocked_cummax(x: jnp.ndarray, cols: int = 1024) -> jnp.ndarray:
+    """Inclusive running maximum of a 1-D array, same blocked layout as
+    blocked_cumsum (per-column sublane scans + a tiny lane-direction carry).
+
+    Used by binning to recover each instance slot's run-start position
+    without gathering an extra per-Gaussian column."""
+    n = x.shape[0]
+    if n % cols != 0 or n < cols * 8:
+        return jax.lax.cummax(x, axis=0)
+    rows = n // cols
+    m = x.reshape(cols, rows).T
+    col_cum = jax.lax.cummax(m, axis=0)
+    carry = jnp.concatenate(
+        [jnp.full((1,), _min_value(x.dtype), x.dtype),
+         jax.lax.cummax(col_cum[-1], axis=0)[:-1]]
+    )
+    out = jnp.maximum(col_cum, carry[None, :])
+    return out.T.reshape(n)
+
+
+def _min_value(dtype):
+    if jnp.issubdtype(dtype, jnp.integer):
+        return jnp.iinfo(dtype).min
+    return -jnp.inf
