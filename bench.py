@@ -59,6 +59,12 @@ def main():
         f"bench scene overflows binning capacity ({total} > {capacity}); "
         "raise BENCH_CAPACITY"
     )
+    # Re-bin at the capacity the trainer's growth policy converges to
+    # (train/trainer.py:261: round_capacity(total*5/4, 64k)) — a 2x-oversized
+    # static capacity taxes every capacity-shaped op roughly linearly.
+    from ex4dgs_tpu.models.state import round_capacity
+
+    capacity = min(capacity, round_capacity(total * 5 // 4, 65536))
     print(f"# instances per frame: {total} (capacity {capacity})")
 
     def loss_fn(params, t):

@@ -37,7 +37,6 @@ from jax.experimental.pallas import tpu as pltpu
 from . import compositing as comp
 from .binning import Binning
 from .projection import Projected, TILE
-from .scan_ops import blocked_cumsum_2d
 
 G_CHUNK = 256  # instances per DMA window; larger = shorter serial chain
 N_PIX = TILE * TILE  # 256
@@ -49,39 +48,24 @@ N_ACC = 8  # accum channels: r g b depth fx fy fz acc
 
 @jax.custom_vjp
 def _gather_rows_t(cols, order, cum, counts):
-    """data[16, capacity] = cols[order].T — the pack gather, with a
-    segment-reduction VJP.
+    """data[16, capacity] = cols[order].T — the pack gather.
 
-    Autodiff of the gather is a scatter-add of [capacity, 16] cotangent rows
-    at 2M random indices (~30 ms at N3V scale — XLA serializes it). The VJP
-    instead re-sorts instances by source Gaussian, which recovers the
-    EXPANSION order whose segment boundaries binning already knows
-    (cum/counts), so each Gaussian's cotangent is a contiguous-segment sum:
-    an inclusive prefix (blocked, sublane-direction) + two [P, 16] row
-    gathers. Fully deterministic, ~2x faster than the scatter."""
+    VJP = deterministic XLA scatter-add of the [capacity, 16] cotangent rows.
+    Measured on v5e at 2M instances (_tpu_packvjp.py): scatter 67 ms,
+    sort-by-gauss + contiguous-segment prefix reduction 77 ms, sorted scatter
+    106 ms — the re-sort/gather/transpose traffic costs more than the scatter
+    it avoids, so the plain scatter stays (revisit if a no-transpose MXU
+    prefix lands)."""
     return jnp.take(cols, order, axis=0).T
 
 
 def _gather_rows_t_fwd(cols, order, cum, counts):
-    return _gather_rows_t(cols, order, cum, counts), (order, cum, counts)
+    return _gather_rows_t(cols, order, cum, counts), (order, cols.shape[0])
 
 
 def _gather_rows_t_bwd(res, ct):
-    order, cum, counts = res
-    capacity = order.shape[0]
-    slot = jax.lax.iota(jnp.int32, capacity)
-    # stable 1-key sort by Gaussian id: tail slots (sentinel, clipped to the
-    # last id) sort AFTER that Gaussian's genuine instances, outside [lo, hi)
-    _g_s, slot_s = jax.lax.sort((order, slot), num_keys=1, is_stable=True)
-    rows = jnp.take(ct.T, slot_s, axis=0)  # [capacity, 16], grouped by Gaussian
-    pref = blocked_cumsum_2d(rows)
-    hi = jnp.clip(cum - 1, 0, capacity - 1)
-    lo = jnp.clip(cum - counts - 1, 0, capacity - 1)
-    hi_v = jnp.where((cum > 0)[:, None], jnp.take(pref, hi, axis=0), 0.0)
-    lo_v = jnp.where(
-        (cum - counts > 0)[:, None], jnp.take(pref, lo, axis=0), 0.0
-    )
-    d_cols = jnp.where((counts > 0)[:, None], hi_v - lo_v, 0.0)
+    order, P = res
+    d_cols = jnp.zeros((P, ct.shape[0]), ct.dtype).at[order].add(ct.T)
     return d_cols, None, None, None
 
 
