@@ -12,15 +12,21 @@ from ex4dgs_tpu.ops import rasterize_pallas as rp
 from ex4dgs_tpu.ops.scan_ops import blocked_cumsum_2d
 from ex4dgs_tpu.ops.projection import tile_grid
 
-W, H = 1352, 1014
-model, cfg = make_scene(n_static=100_000, n_dynamic=10_000, duration=10.0,
-                        static_capacity=100_096, dynamic_capacity=16384)
+import os
+
+SMALL = bool(os.environ.get("PACKVJP_SMALL"))
+W, H = (336, 256) if SMALL else (1352, 1014)
+model, cfg = make_scene(
+    n_static=5_000 if SMALL else 100_000,
+    n_dynamic=500 if SMALL else 10_000, duration=10.0,
+    static_capacity=5_120 if SMALL else 100_096,
+    dynamic_capacity=512 if SMALL else 16384)
 model = model._replace(params={
     **model.params,
     "scaling": jnp.minimum(model.params["scaling"], jnp.log(0.02)),
 })
 cam = ring_cameras(1, 3.0, W, H, far=cfg.far)[0]
-capacity = 2 * 1024 * 1024
+capacity = 128 * 1024 if SMALL else 2 * 1024 * 1024
 gx, gy = tile_grid(W, H)
 
 
@@ -50,12 +56,17 @@ def prefix(params, t, variant):
         zeros, zeros, zeros, ones, zeros, zeros,
     ], axis=1)
 
+    # tail slots (>= total) get zero cotangents, as the real backward
+    # kernel zero-fills them; the scatter VJP would otherwise dump the
+    # artificial ones-cotangent into the clipped last Gaussian row.
+    valid = (jnp.arange(capacity) < binn.total).astype(jnp.float32)
+
     if variant == "none":  # pack excluded from the grad path entirely
         data = jnp.take(jax.lax.stop_gradient(cols), binn.order, axis=0).T
-        return data.sum() + cols.sum() * 0.0
+        return (data * valid).sum() + cols.sum() * 0.0
     if variant == "segment":
         data = rp._gather_rows_t(cols, binn.order, binn.cum, binn.counts)
-        return data.sum()
+        return (data * valid).sum()
     if variant == "scatter":
         @jax.custom_vjp
         def packg(c):
@@ -65,7 +76,7 @@ def prefix(params, t, variant):
         def packg_bwd(_, ct):
             return (jnp.zeros((P, 16), jnp.float32).at[binn.order].add(ct.T),)
         packg.defvjp(packg_fwd, packg_bwd)
-        return packg(cols).sum()
+        return (packg(cols) * valid).sum()
     if variant == "sortscatter":
         @jax.custom_vjp
         def packg(c):
@@ -80,7 +91,29 @@ def prefix(params, t, variant):
             return (jnp.zeros((P, 16), jnp.float32).at[g_s].add(
                 rows, indices_are_sorted=True, unique_indices=False),)
         packg.defvjp(packg_fwd, packg_bwd)
-        return packg(cols).sum()
+        return (packg(cols) * valid).sum()
+    if variant == "segmm":  # segment reduction with the matmul block-cumsum
+        from ex4dgs_tpu.ops.scan_ops import matmul_block_cumsum
+
+        @jax.custom_vjp
+        def packg(c):
+            return jnp.take(c, binn.order, axis=0).T
+        def packg_fwd(c):
+            return packg(c), None
+        def packg_bwd(_, ct):
+            slot = jax.lax.iota(jnp.int32, capacity)
+            _g_s, slot_s = jax.lax.sort((binn.order, slot), num_keys=1,
+                                        is_stable=True)
+            rows = jnp.take(ct.T, slot_s, axis=0)
+            pref = matmul_block_cumsum(rows)
+            hi = jnp.clip(binn.cum - 1, 0, capacity - 1)
+            lo = jnp.clip(binn.cum - binn.counts - 1, 0, capacity - 1)
+            hi_v = jnp.where((binn.cum > 0)[:, None], jnp.take(pref, hi, axis=0), 0.0)
+            lo_v = jnp.where((binn.cum - binn.counts > 0)[:, None],
+                             jnp.take(pref, lo, axis=0), 0.0)
+            return (jnp.where((binn.counts > 0)[:, None], hi_v - lo_v, 0.0),)
+        packg.defvjp(packg_fwd, packg_bwd)
+        return (packg(cols) * valid).sum()
     if variant == "seg_parts":  # segment VJP but time the pieces via dummies
         @jax.custom_vjp
         def packg(c):
@@ -100,11 +133,31 @@ def prefix(params, t, variant):
                              jnp.take(pref, lo, axis=0), 0.0)
             return (jnp.where((binn.counts > 0)[:, None], hi_v - lo_v, 0.0),)
         packg.defvjp(packg_fwd, packg_bwd)
-        return packg(cols).sum()
+        return (packg(cols) * valid).sum()
     raise ValueError(variant)
 
 
-for v in ("none", "scatter", "sortscatter", "segment"):
+import os
+import sys
+
+variants = sys.argv[1:] or ["none", "scatter", "sortscatter", "segment"]
+if os.environ.get("PACKVJP_CHECK"):
+    # numerical check: every variant's grad == the scatter grad
+    ref = jax.jit(jax.grad(functools.partial(prefix, variant="scatter")))(
+        model.params, jnp.asarray(1.0))
+    for v in variants:
+        if v == "scatter":
+            continue
+        g = jax.jit(jax.grad(functools.partial(prefix, variant=v)))(
+            model.params, jnp.asarray(1.0))
+        for kk in ref:
+            d = float(jnp.max(jnp.abs(ref[kk] - g[kk])))
+            r = float(jnp.max(jnp.abs(ref[kk]))) + 1e-30
+            assert d / r < 1e-4, (v, kk, d, r)
+        print(f"check [{v}]: OK", flush=True)
+    sys.exit(0)
+
+for v in variants:
     g = jax.grad(functools.partial(prefix, variant=v))
     timeit(f"grad pack [{v}]", lambda p, t, g=g: g(p, t),
            model.params, jnp.asarray(1.0))

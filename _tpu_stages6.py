@@ -53,6 +53,9 @@ def pipeline(params, t, stage):
         tids, None, gx * gy, gx, False, False)
     if stage == 4:
         return accum.sum()
+    if stage == 45:  # L1 in TILED layout (no untile in the graph)
+        gt_t = jax.lax.stop_gradient(color) * 0.5
+        return jnp.abs(color - gt_t).mean()
     img = color.reshape(gy, gx, 16, 16, 3)
     img = jnp.moveaxis(img, 2, 1).reshape(gy * 16, gx * 16, 3)[:H, :W]
     if stage == 5:
@@ -67,8 +70,8 @@ for stage, nm in ((1, "preproc"), (2, "+bin"), (3, "+pack"), (4, "+kernel"),
            model.params, jnp.asarray(1.0))
 
 # grad cumulative prefixes
-for stage, nm in ((1, "preproc"), (3, "+pack"), (4, "+kernel"), (5, "+l1"),
-                  (6, "+ssim")):
+for stage, nm in ((1, "preproc"), (3, "+pack"), (4, "+kernel"),
+                  (45, "+l1tiled"), (5, "+l1"), (6, "+ssim")):
     g = jax.grad(functools.partial(pipeline, stage=stage))
     timeit(f"grad {nm}", lambda p, t, g=g: g(p, t),
            model.params, jnp.asarray(1.0))

@@ -27,6 +27,7 @@ stop-gradient weights, acc fully stop-gradiented.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -46,26 +47,52 @@ DATA_ROWS = 16  # packed per-instance rows (one sublane tile)
 N_ACC = 8  # accum channels: r g b depth fx fy fz acc
 
 
+# Pack-gather VJP strategy. "segment": re-sort instances by source Gaussian
+# (recovering the expansion order whose contiguous segment boundaries binning
+# already knows via cum/counts) and reduce each Gaussian's cotangent as a
+# difference of inclusive prefixes, with the prefix computed by per-256-block
+# lower-triangular MXU matmuls in the natural layout (scan_ops.
+# matmul_block_cumsum — no physical transposes). "scatter": deterministic XLA
+# scatter-add of the [capacity, 16] cotangent rows at ~capacity random
+# indices. Both are deterministic; see _tpu_packvjp.py for the measurement.
+PACK_VJP = "segment"
+
+
 @jax.custom_vjp
 def _gather_rows_t(cols, order, cum, counts):
-    """data[16, capacity] = cols[order].T — the pack gather.
-
-    VJP = deterministic XLA scatter-add of the [capacity, 16] cotangent rows.
-    Measured on v5e at 2M instances (_tpu_packvjp.py): scatter 67 ms,
-    sort-by-gauss + contiguous-segment prefix reduction 77 ms, sorted scatter
-    106 ms — the re-sort/gather/transpose traffic costs more than the scatter
-    it avoids, so the plain scatter stays (revisit if a no-transpose MXU
-    prefix lands)."""
+    """data[16, capacity] = cols[order].T — the pack gather, with a
+    deterministic instance->Gaussian segment-reduction VJP (see PACK_VJP)."""
     return jnp.take(cols, order, axis=0).T
 
 
 def _gather_rows_t_fwd(cols, order, cum, counts):
-    return _gather_rows_t(cols, order, cum, counts), (order, cols.shape[0])
+    return _gather_rows_t(cols, order, cum, counts), (
+        order, cum, counts, cols.shape[0])
 
 
 def _gather_rows_t_bwd(res, ct):
-    order, P = res
-    d_cols = jnp.zeros((P, ct.shape[0]), ct.dtype).at[order].add(ct.T)
+    order, cum, counts, P = res
+    capacity = order.shape[0]
+    if PACK_VJP == "scatter":
+        d_cols = jnp.zeros((P, ct.shape[0]), ct.dtype).at[order].add(ct.T)
+        return d_cols, None, None, None
+    from .scan_ops import matmul_block_cumsum
+
+    slot = jax.lax.iota(jnp.int32, capacity)
+    # Stable 1-key sort by Gaussian id recovers the expansion order: tail
+    # slots (sentinel, clipped to the last id) carry zero cotangents from the
+    # kernel's padding zero-fill, and the [lo, hi) windows below exclude them
+    # regardless.
+    _g_s, slot_s = jax.lax.sort((order, slot), num_keys=1, is_stable=True)
+    rows = jnp.take(ct.T, slot_s, axis=0)  # [capacity, 16], grouped by Gaussian
+    pref = matmul_block_cumsum(rows)
+    hi = jnp.clip(cum - 1, 0, capacity - 1)
+    lo = jnp.clip(cum - counts - 1, 0, capacity - 1)
+    hi_v = jnp.where((cum > 0)[:, None], jnp.take(pref, hi, axis=0), 0.0)
+    lo_v = jnp.where(
+        (cum - counts > 0)[:, None], jnp.take(pref, lo, axis=0), 0.0
+    )
+    d_cols = jnp.where((counts > 0)[:, None], hi_v - lo_v, 0.0)
     return d_cols, None, None, None
 
 
@@ -103,7 +130,11 @@ def pack_sorted(proj: Projected, colors, flow, binning: Binning):
     return data, g.astype(jnp.int32)
 
 
-PAIR = 2  # tiles composited per grid step (batched pair axis)
+# Tiles composited per grid step (batched pane axis). More panes per step
+# amortize loop/DMA fixed costs and hide latency at the cost of VMEM and
+# wasted work when pane chunk counts diverge; override for experiments via
+# EX4DGS_PAIR (read once at import).
+PAIR = int(os.environ.get("EX4DGS_PAIR", "2"))
 
 
 def _tile_origin(tile_idx, grid_x):
@@ -492,12 +523,13 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     * pane A (tile 2p): window 0 is read-modify-write (it may straddle the
       previous program's last window — fully flushed by its epilogue);
       windows >= 1 are plain double-buffered writes.
-    * pane B (tile 2p+1): its FIRST window may be pane A's last window, and A
-      is still streaming when B starts — so B's window-0 gradients accumulate
-      in a resident VMEM buffer (bw0_ref) and are merged read-modify-write in
-      the epilogue, after every A write (incl. zero-fill) has completed.
-      B windows >= 1 start past A's range (adjacent ranges are contiguous)
-      and are plain writes."""
+    * panes k >= 1 (tiles PAIR*p+k): each pane's FIRST window may be the
+      previous pane's last window, which is still streaming — so window-0
+      gradients accumulate in a resident VMEM buffer (bw0_ref[k-1]) and are
+      merged read-modify-write in the epilogue IN PANE ORDER, after every
+      earlier write (incl. zero-fill) has completed. Windows >= 1 start past
+      the previous pane's range (sorted ranges are contiguous) and are plain
+      writes."""
     p = pl.program_id(0)
     t0 = p * PAIR
     start_k = [starts[t0 + k] for k in range(PAIR)]
@@ -516,7 +548,7 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
 
     cum_ref[:] = jnp.ones((PAIR, N_PIX, 1), jnp.float32)
     pref_ref[:] = jnp.zeros((PAIR, N_PIX, 1), jnp.float32)
-    bw0_ref[:] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
+    bw0_ref[:] = jnp.zeros((PAIR - 1, DATA_ROWS, G_CHUNK), jnp.float32)
     buf[:] = jnp.zeros(buf.shape, jnp.float32)  # stale panes must be finite
     gacc = gacc_in[:]  # [PAIR, N_PIX, N_ACC]
     gc_r = gacc[:, :, 0:1]
@@ -580,19 +612,18 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
                 wait_read(k, j, slot)
 
         # drain the writes that last used this slot (chunk j-2) per pane;
-        # pane B has no in-flight write for chunk 0 (held in bw0_ref)
+        # panes >= 1 have no in-flight write for chunk 0 (held in bw0_ref)
         @pl.when((j >= 2) & (j - 2 < n_k[0]))
         def _():
             wait_write(0, j - 2, slot)
-        @pl.when((j >= 3) & (j - 2 < n_k[1]))
-        def _():
-            wait_write(1, j - 2, slot)
-        @pl.when((j > 0) & (j < n_k[0]))
-        def _():
-            dbuf[slot, 0] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
-        @pl.when((j > 0) & (j < n_k[1]))
-        def _():
-            dbuf[slot, 1] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
+        for k in range(1, PAIR):
+            @pl.when((j >= 3) & (j - 2 < n_k[k]))
+            def _(k=k):
+                wait_write(k, j - 2, slot)
+        for k in range(PAIR):
+            @pl.when((j > 0) & (j < n_k[k]))
+            def _(k=k):
+                dbuf[slot, k] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
 
         off = _pair_scalars_i32([base_k[k] + j * G_CHUNK for k in range(PAIR)])
         lo = _pair_scalars_i32(start_k) - off
@@ -661,15 +692,16 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
         def _():
             dbuf[slot, 0] += gchunk[0]
             start_write(0, j, slot)
-        @pl.when(j < n_k[1])
-        def _():
-            @pl.when(j == 0)
-            def _():
-                bw0_ref[:] += gchunk[1]
-            @pl.when(j > 0)
-            def _():
-                dbuf[slot, 1] += gchunk[1]
-                start_write(1, j, slot)
+        for k in range(1, PAIR):
+            @pl.when(j < n_k[k])
+            def _(k=k):
+                @pl.when(j == 0)
+                def _():
+                    bw0_ref[k - 1] += gchunk[k]
+                @pl.when(j > 0)
+                def _():
+                    dbuf[slot, k] += gchunk[k]
+                    start_write(k, j, slot)
 
         pref_ref[:] = incl[..., -1:]
         new_cum = cum[..., -1:]
@@ -709,13 +741,14 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     @pl.when((last_a >= 1) & (last_a - 1 >= j_exit - 2))
     def _():
         wait_write(0, last_a - 1, jax.lax.rem(last_a - 1, 2))
-    last_b = jnp.minimum(j_exit, n_k[1])
-    @pl.when((last_b >= 3) & (last_b - 2 >= j_exit - 2))
-    def _():
-        wait_write(1, last_b - 2, jax.lax.rem(last_b - 2, 2))
-    @pl.when((last_b >= 2) & (last_b - 1 >= j_exit - 2))
-    def _():
-        wait_write(1, last_b - 1, jax.lax.rem(last_b - 1, 2))
+    for k in range(1, PAIR):
+        last_b = jnp.minimum(j_exit, n_k[k])
+        @pl.when((last_b >= 3) & (last_b - 2 >= j_exit - 2))
+        def _(k=k, last_b=last_b):
+            wait_write(k, last_b - 2, jax.lax.rem(last_b - 2, 2))
+        @pl.when((last_b >= 2) & (last_b - 1 >= j_exit - 2))
+        def _(k=k, last_b=last_b):
+            wait_write(k, last_b - 1, jax.lax.rem(last_b - 1, 2))
 
     # zero-fill never-computed windows (post-latch gradients are exactly
     # zero, but the output slice must be initialized — and pane A's fills
@@ -725,7 +758,7 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
         @pl.when(j_exit < n_k[k])
         def _(k=k):
             dbuf[0, k] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
-            lo_j = jnp.maximum(j_exit, 1) if k == 1 else j_exit
+            lo_j = jnp.maximum(j_exit, 1) if k >= 1 else j_exit
 
             def zbody(j, _):
                 off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
@@ -739,22 +772,24 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
 
             jax.lax.fori_loop(lo_j, n_k[k], zbody, 0)
 
-    # merge pane B's window-0 gradients: read-modify-write AFTER every pane A
-    # write has completed (A's last window may be this very window)
-    @pl.when(n_k[1] > 0)
-    def _():
-        off = pl.multiple_of(base_k[1], G_CHUNK)
-        rdma = pltpu.make_async_copy(
-            dgrad_out.at[:, pl.ds(off, G_CHUNK)], dbuf.at[1, 1], bsem
-        )
-        rdma.start()
-        rdma.wait()
-        dbuf[1, 1] += bw0_ref[:]
-        wdma = pltpu.make_async_copy(
-            dbuf.at[1, 1], dgrad_out.at[:, pl.ds(off, G_CHUNK)], bsem
-        )
-        wdma.start()
-        wdma.wait()
+    # merge panes' window-0 gradients in PANE ORDER: each read-modify-write
+    # runs after every earlier pane's write (incl. the previous merge, whose
+    # last window may be this very window) has completed
+    for k in range(1, PAIR):
+        @pl.when(n_k[k] > 0)
+        def _(k=k):
+            off = pl.multiple_of(base_k[k], G_CHUNK)
+            rdma = pltpu.make_async_copy(
+                dgrad_out.at[:, pl.ds(off, G_CHUNK)], dbuf.at[1, k], bsem
+            )
+            rdma.start()
+            rdma.wait()
+            dbuf[1, k] += bw0_ref[k - 1]
+            wdma = pltpu.make_async_copy(
+                dbuf.at[1, k], dgrad_out.at[:, pl.ds(off, G_CHUNK)], bsem
+            )
+            wdma.start()
+            wdma.wait()
 
 
 def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
@@ -799,7 +834,8 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
             pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # cum
             pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # prefix
             pltpu.VMEM((2, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # dbuf x2
-            pltpu.VMEM((DATA_ROWS, G_CHUNK), jnp.float32),  # pane-B window 0
+            pltpu.VMEM((PAIR - 1, DATA_ROWS, G_CHUNK), jnp.float32),  # win-0
+            # accumulators for panes >= 1
             pltpu.SemaphoreType.DMA((2, PAIR)),
             pltpu.SemaphoreType.DMA((2, PAIR)),
             pltpu.SemaphoreType.DMA,

@@ -39,6 +39,31 @@ def blocked_cumsum_2d(x: jnp.ndarray, cols: int = 1024) -> jnp.ndarray:
     return out.transpose(1, 0, 2).reshape(n, k)
 
 
+def matmul_block_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+    """Inclusive cumsum along axis 0 of [n, k] via per-block lower-triangular
+    MXU matmuls + a small cross-block carry.
+
+    Unlike `blocked_cumsum_2d` this keeps the NATURAL layout — element i lives
+    at [i // block, i % block, :] of the (free) reshape to [b, block, k] — so
+    there are no physical transposes; the O(n·block) matmul FLOPs are noise on
+    the MXU. Built for the pack-gather VJP's segment reduction where k = 16
+    packed feature rows and n is the multi-million instance capacity."""
+    n, k = x.shape
+    if n % block != 0 or n < block * 2:
+        return jnp.cumsum(x, axis=0)
+    b = n // block
+    x3 = x.reshape(b, block, k)
+    i = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    lower = (j <= i).astype(x.dtype)
+    cs = jnp.einsum(
+        "ij,bjk->bik", lower, x3, preferred_element_type=x.dtype
+    )
+    sums = cs[:, -1, :]  # [b, k] per-block totals
+    carry = jnp.cumsum(sums, axis=0) - sums  # exclusive prefix, tiny scan
+    return (cs + carry[:, None, :]).reshape(n, k)
+
+
 def blocked_cumsum(x: jnp.ndarray, cols: int = 1024) -> jnp.ndarray:
     """Inclusive cumsum of a 1-D array, O(N) sublane-direction work.
 
