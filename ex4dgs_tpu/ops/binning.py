@@ -9,8 +9,14 @@ static `capacity` with masked overflow:
   2. each of `capacity` instance slots finds its source Gaussian with a
      searchsorted over the prefix sums (the inverse of CUDA's
      duplicateWithKeys scatter — gather-based, so shapes stay static);
-  3. lexicographic sort on (tile_id, depth) via jax.lax.sort with 2 keys
-     (the analog of the packed [tile<<32 | float-depth-bits] radix keys);
+  3. sort on ONE packed 31-bit key [tile << DEPTH_BITS | depth-bits >> shift]
+     (the analog of the packed 64-bit [tile<<32 | float-depth-bits] radix
+     keys, rasterizer_impl.cu:110-114). Positive-float bit patterns are
+     order-preserving, so truncating the low mantissa bits quantizes the
+     within-tile depth order to ~2^-10 relative precision — ties blend in
+     Gaussian-index order, visually identical, and the packed sort moves ~40%
+     less data than a 2-key lexicographic sort. `exact_depth_sort` restores
+     the full (tile, depth) 2-key sort;
   4. per-tile (start, end) ranges via searchsorted (identifyTileRanges).
 
 Overflow behavior: instances beyond `capacity` are dropped *from the back of
@@ -38,7 +44,8 @@ class Binning(NamedTuple):
     counts: jnp.ndarray = None  # [P] int32 tiles touched per Gaussian
 
 
-def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int) -> Binning:
+def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int,
+                  exact_depth_sort: bool = False) -> Binning:
     num_tiles = grid_x * grid_y
     counts = proj.tiles_touched.astype(jnp.int32)
     cum = blocked_cumsum(counts)  # inclusive
@@ -82,14 +89,33 @@ def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int) -> B
     tile = (ry + dy) * grid_x + (rx + dx)
     tile = jnp.where(slots < total, tile, num_tiles)  # sentinel sorts to the end
 
-    depth = jax.lax.bitcast_convert_type(g[:, 1], jnp.float32)
-    tile_s, _depth_s, order = jax.lax.sort(
-        (tile, depth, gauss_c), dimension=0, num_keys=2, is_stable=True
-    )
-
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(tile_s, tile_ids, side="left").astype(jnp.int32)
-    stop = jnp.searchsorted(tile_s, tile_ids, side="right").astype(jnp.int32)
+    if exact_depth_sort:
+        depth = jax.lax.bitcast_convert_type(g[:, 1], jnp.float32)
+        tile_s, _depth_s, order = jax.lax.sort(
+            (tile, depth, gauss_c), dimension=0, num_keys=2, is_stable=True
+        )
+        start = jnp.searchsorted(tile_s, tile_ids, side="left").astype(jnp.int32)
+        stop = jnp.searchsorted(tile_s, tile_ids, side="right").astype(jnp.int32)
+    else:
+        # Packed 31-bit key: depth > 0 (near-culled) so its int32 bit pattern
+        # is positive and order-preserving; keep its top DEPTH_BITS (static
+        # per grid: all bits the tile id leaves free).
+        DEPTH_BITS = 31 - num_tiles.bit_length()
+        key = (tile << DEPTH_BITS) | (g[:, 1] >> (31 - DEPTH_BITS))
+        key = jnp.where(slots < total, key, jnp.int32(2**31 - 1))
+        key_s, order = jax.lax.sort(
+            (key, gauss_c), dimension=0, num_keys=1, is_stable=True
+        )
+        tile_s = jnp.where(
+            key_s == 2**31 - 1, num_tiles, key_s >> DEPTH_BITS
+        ).astype(jnp.int32)
+        start = jnp.searchsorted(
+            key_s, tile_ids << DEPTH_BITS, side="left"
+        ).astype(jnp.int32)
+        stop = jnp.searchsorted(
+            key_s, (tile_ids + 1) << DEPTH_BITS, side="left"
+        ).astype(jnp.int32)
     return Binning(order=order, tile_id=tile_s, tile_start=start, tile_stop=stop,
                    total=total, cum=cum, counts=counts)
 
