@@ -67,19 +67,40 @@ def cov3d_from_scaling_rotation(
 ) -> jnp.ndarray:
     """World-space covariance Sigma = R S^2 R^T, packed to 6 upper-triangular
     entries (xx, xy, xz, yy, yz, zz). Mirrors forward.cu:128-162 (note: the
-    quaternion is NOT normalized there, matching the reference kernel)."""
-    R = quat_to_rotmat(rotation, normalize=False)
-    s = scale_modifier * scaling  # [..., 3]
-    M = R * s[..., None, :]  # R @ diag(s)
-    sigma = M @ jnp.swapaxes(M, -1, -2)
+    quaternion is NOT normalized there, matching the reference kernel).
+
+    Written as componentwise [P]-array math, NOT batched [P,3,3] matmuls: TPU
+    lays a trailing dim of 3 on 3 of 128 lanes, so tiny-matrix batching runs
+    at ~2% VPU occupancy while flat [P] arrays use every lane (the vectorized
+    analog of the reference's per-thread scalar code)."""
+    r = rotation[..., 0]
+    x = rotation[..., 1]
+    y = rotation[..., 2]
+    z = rotation[..., 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - r * z)
+    r02 = 2.0 * (x * z + r * y)
+    r10 = 2.0 * (x * y + r * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - r * x)
+    r20 = 2.0 * (x * z - r * y)
+    r21 = 2.0 * (y * z + r * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    s0 = scale_modifier * scaling[..., 0]
+    s1 = scale_modifier * scaling[..., 1]
+    s2 = scale_modifier * scaling[..., 2]
+    # M = R diag(s); Sigma = M M^T
+    m00, m01, m02 = r00 * s0, r01 * s1, r02 * s2
+    m10, m11, m12 = r10 * s0, r11 * s1, r12 * s2
+    m20, m21, m22 = r20 * s0, r21 * s1, r22 * s2
     return jnp.stack(
         [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
+            m00 * m00 + m01 * m01 + m02 * m02,
+            m00 * m10 + m01 * m11 + m02 * m12,
+            m00 * m20 + m01 * m21 + m02 * m22,
+            m10 * m10 + m11 * m11 + m12 * m12,
+            m10 * m20 + m11 * m21 + m12 * m22,
+            m20 * m20 + m21 * m21 + m22 * m22,
         ],
         axis=-1,
     )
@@ -121,7 +142,9 @@ def ewa_project_cov(
       coef:  [...] opacity compensation sqrt(det0/det1) (0 where degenerate).
 
     Mirrors forward.cu:74-124 including the 1.3*tanfov view-frustum clamp of
-    the Jacobian linearization point and all epsilons.
+    the Jacobian linearization point and all epsilons. Componentwise [P]-array
+    math (see cov3d_from_scaling_rotation) — batched [P,2,3]x[P,3,3] matmuls
+    would run on 2-3 of 128 lanes.
     """
     tx, ty, tz = mean_cam[..., 0], mean_cam[..., 1], mean_cam[..., 2]
     limx = 1.3 * tan_fovx
@@ -132,20 +155,39 @@ def ewa_project_cov(
     # J: d(image plane)/d(camera space) at the clamped linearization point.
     inv_tz = 1.0 / tz
     inv_tz2 = inv_tz * inv_tz
-    zeros = jnp.zeros_like(tx)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_tz, zeros, -focal_x * tx * inv_tz2], -1),
-            jnp.stack([zeros, focal_y * inv_tz, -focal_y * ty * inv_tz2], -1),
-        ],
-        axis=-2,
-    )  # [..., 2, 3]
-    JW = J @ view_rot  # [..., 2, 3]
-    V = unpack_sym3(cov3d)  # [..., 3, 3]
-    cov = JW @ V @ jnp.swapaxes(JW, -1, -2)  # [..., 2, 2]
-    a = cov[..., 0, 0]
-    b = cov[..., 0, 1]
-    c = cov[..., 1, 1]
+    j00 = focal_x * inv_tz
+    j02 = -focal_x * tx * inv_tz2
+    j11 = focal_y * inv_tz
+    j12 = -focal_y * ty * inv_tz2
+    # T = J @ W (W = view_rot, shared [3,3] scalars)
+    w = view_rot
+    t00 = j00 * w[0, 0] + j02 * w[2, 0]
+    t01 = j00 * w[0, 1] + j02 * w[2, 1]
+    t02 = j00 * w[0, 2] + j02 * w[2, 2]
+    t10 = j11 * w[1, 0] + j12 * w[2, 0]
+    t11 = j11 * w[1, 1] + j12 * w[2, 1]
+    t12 = j11 * w[1, 2] + j12 * w[2, 2]
+    vxx = cov3d[..., 0]
+    vxy = cov3d[..., 1]
+    vxz = cov3d[..., 2]
+    vyy = cov3d[..., 3]
+    vyz = cov3d[..., 4]
+    vzz = cov3d[..., 5]
+    # cov2d = T V T^T expanded over the packed symmetric entries
+    a = (
+        t00 * t00 * vxx + t01 * t01 * vyy + t02 * t02 * vzz
+        + 2.0 * (t00 * t01 * vxy + t00 * t02 * vxz + t01 * t02 * vyz)
+    )
+    b = (
+        t00 * t10 * vxx + t01 * t11 * vyy + t02 * t12 * vzz
+        + (t00 * t11 + t01 * t10) * vxy
+        + (t00 * t12 + t02 * t10) * vxz
+        + (t01 * t12 + t02 * t11) * vyz
+    )
+    c = (
+        t10 * t10 * vxx + t11 * t11 * vyy + t12 * t12 * vzz
+        + 2.0 * (t10 * t11 * vxy + t10 * t12 * vxz + t11 * t12 * vyz)
+    )
 
     det0 = jnp.maximum(1e-6, a * c - b * b)
     det1 = jnp.maximum(1e-6, (a + kernel_size) * (c + kernel_size) - b * b)

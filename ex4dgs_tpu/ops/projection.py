@@ -72,24 +72,36 @@ def project_gaussians(
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
 
-    ones = jnp.ones((P, 1), means3d.dtype)
-    hom = jnp.concatenate([means3d, ones], axis=1)  # [P,4]
-    p_view = hom @ cam.view[:3].T  # [P,3]
-    p_hom = hom @ cam.proj.T  # [P,4]
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    p_proj = p_hom[:, :3] * p_w[:, None]  # NDC
-    if mean2d_ndc_offset is not None:
-        p_proj = p_proj + mean2d_ndc_offset
+    # Componentwise [P]-array math instead of [P,4]x[4,4] matmuls / [P,k]
+    # stacks: a trailing dim of 3-4 occupies 3-4 of 128 TPU lanes, so the
+    # "vectorized" matrix form runs at ~3% VPU occupancy (measured 4x slower
+    # fwd, 3x bwd for this stage).
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
 
-    depth = p_view[:, 2]
+    def affine(row):
+        return row[0] * mx + row[1] * my + row[2] * mz + row[3]
+
+    p_view_z = affine(cam.view[2])
+    ph_x = affine(cam.proj[0])
+    ph_y = affine(cam.proj[1])
+    ph_w = affine(cam.proj[3])
+    p_w = 1.0 / (ph_w + 1e-7)
+    px_ndc = ph_x * p_w
+    py_ndc = ph_y * p_w
+    if mean2d_ndc_offset is not None:
+        px_ndc = px_ndc + mean2d_ndc_offset[:, 0]
+        py_ndc = py_ndc + mean2d_ndc_offset[:, 1]
+
+    depth = p_view_z
     # Frustum test (auxiliary.h:in_frustum): near/far on view z, +-1.3 NDC box.
     in_frustum = (
         (depth > min_depth)
         & (depth <= max_depth)
-        & (jnp.abs(p_proj[:, 0]) <= 1.3)
-        & (jnp.abs(p_proj[:, 1]) <= 1.3)
+        & (jnp.abs(px_ndc) <= 1.3)
+        & (jnp.abs(py_ndc) <= 1.3)
     )
 
+    p_view = jnp.stack([affine(cam.view[0]), affine(cam.view[1]), p_view_z], -1)
     cov2d, coef = ewa_project_cov(
         p_view, cov3d, cam.view[:3, :3], focal_x, focal_y, tan_fovx, tan_fovy, kernel_size
     )
@@ -115,14 +127,16 @@ def project_gaussians(
         jnp.minimum(3.0, support) * jnp.sqrt(jnp.maximum(lam1, 0.0))
     )
 
-    xy = jnp.stack([ndc2pix(p_proj[:, 0], width), ndc2pix(p_proj[:, 1], height)], axis=-1)
+    pix_x = ndc2pix(px_ndc, width)
+    pix_y = ndc2pix(py_ndc, height)
+    xy = jnp.stack([pix_x, pix_y], axis=-1)
 
     grid_x, grid_y = tile_grid(width, height, tile)
     # getRect (auxiliary.h:46-57): truncation-toward-zero int casts.
-    rmin_x = jnp.clip(((xy[:, 0] - rect_radius) / tile).astype(jnp.int32), 0, grid_x)
-    rmin_y = jnp.clip(((xy[:, 1] - rect_radius) / tile).astype(jnp.int32), 0, grid_y)
-    rmax_x = jnp.clip(((xy[:, 0] + rect_radius + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
-    rmax_y = jnp.clip(((xy[:, 1] + rect_radius + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
+    rmin_x = jnp.clip(((pix_x - rect_radius) / tile).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((pix_y - rect_radius) / tile).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(((pix_x + rect_radius + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
+    rmax_y = jnp.clip(((pix_y + rect_radius + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
     tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
     valid = in_frustum & det_ok & (tiles_touched > 0)
