@@ -246,7 +246,10 @@ def _chunk_alpha(chunk, moms, lo, hi, ox, oy):
     lane_m = (lane >= lo) & (lane < hi)
     m = lane_m & (power <= 0.0) & (alpha_c >= comp.ALPHA_MIN)
     alpha = jnp.where(m, alpha_c, 0.0)
-    return alpha, jnp.where(m, alpha_raw, 0.0), jnp.where(m, expt, 0.0), m
+    # alpha_raw is NOT returned: the backward reconstructs op * expt at its
+    # single use (straight-through 0.99 clamp), keeping one fewer
+    # [PAIR, N_PIX, G] tensor live (scoped-VMEM headroom for PAIR=4).
+    return alpha, jnp.where(m, expt, 0.0), m
 
 
 def _transmittance(alpha, cum_in, cumU):
@@ -369,7 +372,7 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
             _pair_scalars_i32(stop_k) - off, jnp.int32(G_CHUNK)
         )
         chunk = buf[slot]  # [PAIR, DATA_ROWS, G_CHUNK]
-        alpha, _, _, _ = _chunk_alpha(chunk, moms, lo, hi, ox, oy)
+        alpha, _, _ = _chunk_alpha(chunk, moms, lo, hi, ox, oy)
 
         cum_in = cum_ref[:]  # [PAIR, N_PIX, 1]
         cum, cum_excl = _transmittance(alpha, cum_in, cumU)
@@ -629,7 +632,7 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
         lo = _pair_scalars_i32(start_k) - off
         hi = _pair_scalars_i32(stop_k) - off
         chunk = buf[slot]  # [PAIR, DATA_ROWS, G_CHUNK]
-        alpha, alpha_raw, expt, _ = _chunk_alpha(chunk, moms, lo, hi, ox, oy)
+        alpha, expt, _ = _chunk_alpha(chunk, moms, lo, hi, ox, oy)
 
         one_m = 1.0 - alpha
         cum_in = cum_ref[:]
@@ -655,8 +658,9 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
             preferred_element_type=jnp.float32,
         )
 
-        dl_dpower = alpha_raw * dl_dalpha  # [PAIR, N_PIX, G]
-        dl_dopac = jnp.sum(expt * dl_dalpha, axis=1)[:, None, :]  # [PAIR,1,G]
+        e_term = expt * dl_dalpha  # [PAIR, N_PIX, G]
+        dl_dpower = chunk[:, 5:6, :] * e_term  # alpha_raw*dl_dalpha = op*expt*...
+        dl_dopac = jnp.sum(e_term, axis=1)[:, None, :]  # [PAIR,1,G]
 
         # pixel-moment reduction: [PAIR, G, 8] (last 2 cols zero padding)
         pm = jax.lax.dot_general(
