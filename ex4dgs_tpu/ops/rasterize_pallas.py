@@ -136,6 +136,20 @@ def pack_sorted(proj: Projected, colors, flow, binning: Binning):
 # EX4DGS_PAIR (read once at import).
 PAIR = int(os.environ.get("EX4DGS_PAIR", "2"))
 
+# Window origin policy. Aligned (default): each tile's DMA chain starts at
+# the G_CHUNK-aligned slot below its range start — offsets carry a
+# multiple_of hint, but ~avg G_CHUNK/2 leading lanes per tile are masked
+# waste. Unaligned (EX4DGS_ALIGN=0): chains start at the exact range start —
+# zero leading waste (the sorted ranges stay contiguous, so every RMW /
+# window-0-merge invariant is unchanged), at the cost of arbitrary-offset
+# DMAs.
+ALIGN_WINDOWS = os.environ.get("EX4DGS_ALIGN", "1") != "0"
+
+
+def _win(off):
+    """DMA lane offset, with the alignment hint only when it is true."""
+    return pl.multiple_of(off, G_CHUNK) if ALIGN_WINDOWS else off
+
 
 def _tile_origin(tile_idx, grid_x):
     """Tile origin (ox, oy) scalars for a GLOBAL tile index."""
@@ -296,7 +310,8 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
     t0 = p * PAIR
     start_k = [starts[t0 + k] for k in range(PAIR)]
     stop_k = [stops[t0 + k] for k in range(PAIR)]
-    base_k = [(s // G_CHUNK) * G_CHUNK for s in start_k]  # 128-aligned origins
+    base_k = [((s // G_CHUNK) * G_CHUNK if ALIGN_WINDOWS else s)
+              for s in start_k]
     n_k = [pl.cdiv(stop_k[k] - base_k[k], G_CHUNK) for k in range(PAIR)]
     # tids[t] = GLOBAL tile index: under tile sharding (parallel/step_dp.py)
     # each device composites a slab of tiles, so the grid index is slab-local.
@@ -325,7 +340,7 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
     buf[:] = jnp.zeros(buf.shape, jnp.float32)
 
     def start_dma(k, j, slot):
-        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
+        off = _win(base_k[k] + j * G_CHUNK)
         pltpu.make_async_copy(
             data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
         ).start()
@@ -336,7 +351,7 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
             ).start()
 
     def wait_dma(k, j, slot):
-        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
+        off = _win(base_k[k] + j * G_CHUNK)
         pltpu.make_async_copy(
             data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
         ).wait()
@@ -455,6 +470,11 @@ def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
     starts = _pad_pair(starts, num_tiles)
     stops = _pad_pair(stops, num_tiles)
     tids = _pad_pair(tids, num_tiles)
+    if not ALIGN_WINDOWS:
+        # exact-start windows can reach up to stop + G_CHUNK - 1: give the
+        # instance arrays one window of tail headroom
+        data = jnp.pad(data, ((0, 0), (0, G_CHUNK)))
+        gid = jnp.pad(gid, ((0, 0), (0, G_CHUNK)))
     t_pad = starts.shape[0]
     kernel = functools.partial(_forward_kernel, grid_x=grid_x,
                                track_idx=track_idx, subpixel=subpixel)
@@ -537,7 +557,8 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     t0 = p * PAIR
     start_k = [starts[t0 + k] for k in range(PAIR)]
     stop_k = [stops[t0 + k] for k in range(PAIR)]
-    base_k = [(s // G_CHUNK) * G_CHUNK for s in start_k]
+    base_k = [((s // G_CHUNK) * G_CHUNK if ALIGN_WINDOWS else s)
+              for s in start_k]
     n_k = [pl.cdiv(stop_k[k] - base_k[k], G_CHUNK) for k in range(PAIR)]
     oxy = [_tile_origin(tids[t0 + k], grid_x) for k in range(PAIR)]
     ox = _pair_scalars([o[0] for o in oxy])
@@ -563,26 +584,26 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     cumU = _cumsum_matrix()
 
     def start_read(k, j, slot):
-        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
+        off = _win(base_k[k] + j * G_CHUNK)
         pltpu.make_async_copy(
             data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
         ).start()
 
     def wait_read(k, j, slot):
-        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
+        off = _win(base_k[k] + j * G_CHUNK)
         pltpu.make_async_copy(
             data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
         ).wait()
 
     def start_write(k, j, slot):
-        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
+        off = _win(base_k[k] + j * G_CHUNK)
         pltpu.make_async_copy(
             dbuf.at[slot, k], dgrad_out.at[:, pl.ds(off, G_CHUNK)],
             wsem.at[slot, k],
         ).start()
 
     def wait_write(k, j, slot):
-        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
+        off = _win(base_k[k] + j * G_CHUNK)
         pltpu.make_async_copy(
             dbuf.at[slot, k], dgrad_out.at[:, pl.ds(off, G_CHUNK)],
             wsem.at[slot, k],
@@ -597,7 +618,7 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     def _():
         # pane A window-0 read-modify-write seed
         rdma = pltpu.make_async_copy(
-            dgrad_out.at[:, pl.ds(pl.multiple_of(base_k[0], G_CHUNK), G_CHUNK)],
+            dgrad_out.at[:, pl.ds(_win(base_k[0]), G_CHUNK)],
             dbuf.at[0, 0], wsem.at[0, 0],
         )
         rdma.start()
@@ -765,7 +786,7 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
             lo_j = jnp.maximum(j_exit, 1) if k >= 1 else j_exit
 
             def zbody(j, _):
-                off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
+                off = _win(base_k[k] + j * G_CHUNK)
                 zdma = pltpu.make_async_copy(
                     dbuf.at[0, k], dgrad_out.at[:, pl.ds(off, G_CHUNK)],
                     wsem.at[0, k],
@@ -782,7 +803,7 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     for k in range(1, PAIR):
         @pl.when(n_k[k] > 0)
         def _(k=k):
-            off = pl.multiple_of(base_k[k], G_CHUNK)
+            off = _win(base_k[k])
             rdma = pltpu.make_async_copy(
                 dgrad_out.at[:, pl.ds(off, G_CHUNK)], dbuf.at[1, k], bsem
             )
@@ -812,6 +833,13 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
     acdot = _pad_pair(acdot, num_tiles)
     gend = _pad_pair(gend, num_tiles)
     tfin = _pad_pair(tfin, num_tiles)
+    buf_cap = capacity
+    if not ALIGN_WINDOWS:
+        # exact-start windows reach up to stop + G_CHUNK - 1 (see
+        # _forward_pallas); grad windows land in the same padded range and the
+        # pad (always zero gradients) is sliced off below
+        buf_cap = capacity + G_CHUNK
+        data = jnp.pad(data, ((0, 0), (0, G_CHUNK)))
     t_pad = starts.shape[0]
     kernel = functools.partial(_backward_kernel, grid_x=grid_x,
                                subpixel=subpixel)
@@ -845,17 +873,18 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    zeros = jnp.zeros((DATA_ROWS, capacity), jnp.float32)
-    return pl.pallas_call(
+    zeros = jnp.zeros((DATA_ROWS, buf_cap), jnp.float32)
+    dgrad = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((DATA_ROWS, capacity), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((DATA_ROWS, buf_cap), jnp.float32)],
         # alias indices count ALL operands incl. scalar prefetch: starts=0,
         # stops=1, tids=2, data=3, cotangents 4..7, off=8, zeros=9 -> out 0
         input_output_aliases={9: 0},
         interpret=interpret,
     )(starts, stops, tids, data, gacc, acdot, gend, tfin, subpixel_offsets,
       zeros)[0]
+    return dgrad[:, :capacity] if buf_cap != capacity else dgrad
 
 
 # ---------------------------------------------------------------------------
