@@ -145,6 +145,11 @@ PAIR = int(os.environ.get("EX4DGS_PAIR", "2"))
 # DMAs.
 ALIGN_WINDOWS = os.environ.get("EX4DGS_ALIGN", "1") != "0"
 
+# Read-DMA pipeline depth: chunk j+BUFS-1 is prefetched while chunk j blends,
+# i.e. each fetch gets BUFS-1 loop bodies of lead time to cover its latency.
+# Grad-write buffers stay double-buffered (their drain is latency-tolerant).
+BUFS = int(os.environ.get("EX4DGS_BUFS", "2"))
+
 
 def _win(off):
     """DMA lane offset, with the alignment hint only when it is true."""
@@ -362,18 +367,19 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
             ).wait()
 
     for k in range(PAIR):
-        @pl.when(n_k[k] > 0)
-        def _(k=k):
-            start_dma(k, 0, 0)
+        for d in range(BUFS - 1):
+            @pl.when(d < n_k[k])
+            def _(k=k, d=d):
+                start_dma(k, d, d)
 
     def body(carry):
         j, _ = carry
-        slot = jax.lax.rem(j, 2)
-        # double-buffer: fetch chunk j+1 while blending chunk j
+        slot = jax.lax.rem(j, BUFS)
+        # pipelined prefetch: fetch chunk j+BUFS-1 while blending chunk j
         for k in range(PAIR):
-            @pl.when(j + 1 < n_k[k])
+            @pl.when(j + BUFS - 1 < n_k[k])
             def _(k=k):
-                start_dma(k, j + 1, 1 - slot)
+                start_dma(k, j + BUFS - 1, jax.lax.rem(j + BUFS - 1, BUFS))
             @pl.when(j < n_k[k])
             def _(k=k):
                 wait_dma(k, j, slot)
@@ -439,9 +445,10 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
 
     # early exit leaves prefetches in flight — drain them per tile
     for k in range(PAIR):
-        @pl.when(j_exit < n_k[k])
-        def _(k=k):
-            wait_dma(k, j_exit, jax.lax.rem(j_exit, 2))
+        for d in range(BUFS - 1):
+            @pl.when(j_exit + d < n_k[k])
+            def _(k=k, d=d):
+                wait_dma(k, j_exit + d, jax.lax.rem(j_exit + d, BUFS))
 
     accum_out[:] = acc_ref[:]
     tfinal_out[:] = jnp.where(
@@ -496,15 +503,15 @@ def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # buf x2
-            pltpu.VMEM((2, PAIR, 1, G_CHUNK), jnp.int32),  # gbuf x2
+            pltpu.VMEM((BUFS, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # buf
+            pltpu.VMEM((BUFS, PAIR, 1, G_CHUNK), jnp.int32),  # gbuf
             pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # cum
             pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # tfin
             pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # best w
             pltpu.VMEM((PAIR, N_PIX, 1), jnp.int32),  # best id
             pltpu.VMEM((PAIR, N_PIX, N_ACC), jnp.float32),  # accum
-            pltpu.SemaphoreType.DMA((2, PAIR)),
-            pltpu.SemaphoreType.DMA((2, PAIR)),
+            pltpu.SemaphoreType.DMA((BUFS, PAIR)),
+            pltpu.SemaphoreType.DMA((BUFS, PAIR)),
         ],
     )
     accum, tfinal, bestidx = pl.pallas_call(
@@ -610,9 +617,10 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
         ).wait()
 
     for k in range(PAIR):
-        @pl.when(n_k[k] > 0)
-        def _(k=k):
-            start_read(k, 0, 0)
+        for d in range(BUFS - 1):
+            @pl.when(d < n_k[k])
+            def _(k=k, d=d):
+                start_read(k, d, d)
 
     @pl.when(n_k[0] > 0)
     def _():
@@ -626,14 +634,15 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
 
     def body(carry):
         j, _ = carry
-        slot = jax.lax.rem(j, 2)
+        rslot = jax.lax.rem(j, BUFS)
+        slot = jax.lax.rem(j, 2)  # grad-write buffer slot
         for k in range(PAIR):
-            @pl.when(j + 1 < n_k[k])
+            @pl.when(j + BUFS - 1 < n_k[k])
             def _(k=k):
-                start_read(k, j + 1, 1 - slot)
+                start_read(k, j + BUFS - 1, jax.lax.rem(j + BUFS - 1, BUFS))
             @pl.when(j < n_k[k])
             def _(k=k):
-                wait_read(k, j, slot)
+                wait_read(k, j, rslot)
 
         # drain the writes that last used this slot (chunk j-2) per pane;
         # panes >= 1 have no in-flight write for chunk 0 (held in bw0_ref)
@@ -652,7 +661,7 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
         off = _pair_scalars_i32([base_k[k] + j * G_CHUNK for k in range(PAIR)])
         lo = _pair_scalars_i32(start_k) - off
         hi = _pair_scalars_i32(stop_k) - off
-        chunk = buf[slot]  # [PAIR, DATA_ROWS, G_CHUNK]
+        chunk = buf[rslot]  # [PAIR, DATA_ROWS, G_CHUNK]
         alpha, expt, _ = _chunk_alpha(chunk, moms, lo, hi, ox, oy)
 
         one_m = 1.0 - alpha
@@ -749,9 +758,10 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
 
     # drain in-flight prefetches if the latch fired early
     for k in range(PAIR):
-        @pl.when(j_exit < n_k[k])
-        def _(k=k):
-            wait_read(k, j_exit, jax.lax.rem(j_exit, 2))
+        for d in range(BUFS - 1):
+            @pl.when(j_exit + d < n_k[k])
+            def _(k=k, d=d):
+                wait_read(k, j_exit + d, jax.lax.rem(j_exit + d, BUFS))
 
     # Drain outstanding grad writes per pane. The in-loop drain already waited
     # every chunk <= j_exit - 3, so only chunks >= j_exit - 2 can still be in
@@ -862,13 +872,13 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # buf x2
+            pltpu.VMEM((BUFS, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # buf
             pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # cum
             pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # prefix
             pltpu.VMEM((2, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # dbuf x2
             pltpu.VMEM((PAIR - 1, DATA_ROWS, G_CHUNK), jnp.float32),  # win-0
             # accumulators for panes >= 1
-            pltpu.SemaphoreType.DMA((2, PAIR)),
+            pltpu.SemaphoreType.DMA((BUFS, PAIR)),
             pltpu.SemaphoreType.DMA((2, PAIR)),
             pltpu.SemaphoreType.DMA,
         ],
