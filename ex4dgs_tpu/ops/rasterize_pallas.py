@@ -136,14 +136,18 @@ def pack_sorted(proj: Projected, colors, flow, binning: Binning):
 # EX4DGS_PAIR (read once at import).
 PAIR = int(os.environ.get("EX4DGS_PAIR", "2"))
 
-# Window origin policy. Aligned (default): each tile's DMA chain starts at
-# the G_CHUNK-aligned slot below its range start — offsets carry a
-# multiple_of hint, but ~avg G_CHUNK/2 leading lanes per tile are masked
-# waste. Unaligned (EX4DGS_ALIGN=0): chains start at the exact range start —
-# zero leading waste (the sorted ranges stay contiguous, so every RMW /
-# window-0-merge invariant is unchanged), at the cost of arbitrary-offset
-# DMAs.
-ALIGN_WINDOWS = os.environ.get("EX4DGS_ALIGN", "1") != "0"
+# Window-origin alignment granularity. Each tile's DMA chain starts at the
+# WIN_ALIGN-aligned slot below its range start, wasting avg WIN_ALIGN/2
+# leading masked lanes per tile. Mosaic requires lane-dimension DMA offsets
+# provably divisible by the 128-lane tiling, so 128 is the finest legal
+# granularity (fully exact starts fail to compile: "Failed to prove that a
+# tile index in dimension 1 is divisible by the tiling"). With WIN_ALIGN <
+# G_CHUNK a tile's last window can extend up to G_CHUNK-WIN_ALIGN slots past
+# `capacity`, so the wrappers pad the instance arrays by one window (the
+# sorted ranges stay contiguous, so every RMW / window-0-merge invariant is
+# unchanged).
+WIN_ALIGN = int(os.environ.get("EX4DGS_ALIGN", "128"))
+assert WIN_ALIGN in (128, 256), WIN_ALIGN
 
 # Read-DMA pipeline depth: chunk j+BUFS-1 is prefetched while chunk j blends,
 # i.e. each fetch gets BUFS-1 loop bodies of lead time to cover its latency.
@@ -152,8 +156,8 @@ BUFS = int(os.environ.get("EX4DGS_BUFS", "2"))
 
 
 def _win(off):
-    """DMA lane offset, with the alignment hint only when it is true."""
-    return pl.multiple_of(off, G_CHUNK) if ALIGN_WINDOWS else off
+    """DMA lane offset with its true alignment hint."""
+    return pl.multiple_of(off, WIN_ALIGN)
 
 
 def _tile_origin(tile_idx, grid_x):
@@ -315,8 +319,7 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
     t0 = p * PAIR
     start_k = [starts[t0 + k] for k in range(PAIR)]
     stop_k = [stops[t0 + k] for k in range(PAIR)]
-    base_k = [((s // G_CHUNK) * G_CHUNK if ALIGN_WINDOWS else s)
-              for s in start_k]
+    base_k = [(s // WIN_ALIGN) * WIN_ALIGN for s in start_k]
     n_k = [pl.cdiv(stop_k[k] - base_k[k], G_CHUNK) for k in range(PAIR)]
     # tids[t] = GLOBAL tile index: under tile sharding (parallel/step_dp.py)
     # each device composites a slab of tiles, so the grid index is slab-local.
@@ -477,9 +480,9 @@ def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
     starts = _pad_pair(starts, num_tiles)
     stops = _pad_pair(stops, num_tiles)
     tids = _pad_pair(tids, num_tiles)
-    if not ALIGN_WINDOWS:
-        # exact-start windows can reach up to stop + G_CHUNK - 1: give the
-        # instance arrays one window of tail headroom
+    if WIN_ALIGN < G_CHUNK:
+        # a tile's last window can reach past `capacity` by up to
+        # G_CHUNK - WIN_ALIGN slots: one window of tail headroom
         data = jnp.pad(data, ((0, 0), (0, G_CHUNK)))
         gid = jnp.pad(gid, ((0, 0), (0, G_CHUNK)))
     t_pad = starts.shape[0]
@@ -564,8 +567,7 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     t0 = p * PAIR
     start_k = [starts[t0 + k] for k in range(PAIR)]
     stop_k = [stops[t0 + k] for k in range(PAIR)]
-    base_k = [((s // G_CHUNK) * G_CHUNK if ALIGN_WINDOWS else s)
-              for s in start_k]
+    base_k = [(s // WIN_ALIGN) * WIN_ALIGN for s in start_k]
     n_k = [pl.cdiv(stop_k[k] - base_k[k], G_CHUNK) for k in range(PAIR)]
     oxy = [_tile_origin(tids[t0 + k], grid_x) for k in range(PAIR)]
     ox = _pair_scalars([o[0] for o in oxy])
@@ -844,10 +846,9 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
     gend = _pad_pair(gend, num_tiles)
     tfin = _pad_pair(tfin, num_tiles)
     buf_cap = capacity
-    if not ALIGN_WINDOWS:
-        # exact-start windows reach up to stop + G_CHUNK - 1 (see
-        # _forward_pallas); grad windows land in the same padded range and the
-        # pad (always zero gradients) is sliced off below
+    if WIN_ALIGN < G_CHUNK:
+        # grad windows land in the same padded range as the reads (see
+        # _forward_pallas); the pad (always zero gradients) is sliced off
         buf_cap = capacity + G_CHUNK
         data = jnp.pad(data, ((0, 0), (0, G_CHUNK)))
     t_pad = starts.shape[0]
