@@ -84,7 +84,13 @@ def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int,
     rx = pk & 1023
     ry = (pk >> 10) & 1023
     rw = pk >> 20
-    dy = local // rw
+    # local // rw via exact f32 math: the VPU has no integer divide (the //
+    # lowering costs ~4 ms at 2M capacity). With 0 <= local < 2^20 and
+    # 1 <= rw <= 1024, (local + 0.5) / rw is correctly rounded to within 1
+    # ulp of a value strictly inside (dy, dy + 1), so the floor is exact.
+    dy = jnp.floor(
+        (local.astype(jnp.float32) + 0.5) / rw.astype(jnp.float32)
+    ).astype(jnp.int32)
     dx = local - dy * rw
     tile = (ry + dy) * grid_x + (rx + dx)
     tile = jnp.where(slots < total, tile, num_tiles)  # sentinel sorts to the end
