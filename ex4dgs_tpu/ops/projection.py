@@ -123,8 +123,20 @@ def project_gaussians(
     # which is lossless for the rendered image and its gradients.
     alpha_eff = jnp.maximum(opacities * coef, 1e-12)
     support = jnp.sqrt(2.0 * jnp.maximum(jnp.log(255.0 * alpha_eff), 1e-2))
-    rect_radius = jnp.ceil(
-        jnp.minimum(3.0, support) * jnp.sqrt(jnp.maximum(lam1, 0.0))
+    # Per-axis extents of the region the reference actually composites:
+    # ellipse {power >= -t} (everything below the 1/255 alpha floor is
+    # dropped, forward.cu:380) INTERSECTED with its 3*sqrt(lambda_max) square
+    # (auxiliary.h getRect). The ellipse's axis-aligned bbox is
+    # +-support*sqrt(cov_xx) x +-support*sqrt(cov_yy) (the inverse of the
+    # conic quadratic form), so the bbox of the intersection is the per-axis
+    # min with the square — strictly tighter than the reference's square for
+    # anisotropic or faint splats, and image-lossless.
+    radius3 = 3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0))
+    rect_rx = jnp.ceil(
+        jnp.minimum(support * jnp.sqrt(jnp.maximum(a, 0.0)), radius3)
+    )
+    rect_ry = jnp.ceil(
+        jnp.minimum(support * jnp.sqrt(jnp.maximum(c, 0.0)), radius3)
     )
 
     pix_x = ndc2pix(px_ndc, width)
@@ -132,11 +144,20 @@ def project_gaussians(
     xy = jnp.stack([pix_x, pix_y], axis=-1)
 
     grid_x, grid_y = tile_grid(width, height, tile)
-    # getRect (auxiliary.h:46-57): truncation-toward-zero int casts.
-    rmin_x = jnp.clip(((pix_x - rect_radius) / tile).astype(jnp.int32), 0, grid_x)
-    rmin_y = jnp.clip(((pix_y - rect_radius) / tile).astype(jnp.int32), 0, grid_y)
-    rmax_x = jnp.clip(((pix_x + rect_radius + tile - 1) / tile).astype(jnp.int32), 0, grid_x)
-    rmax_y = jnp.clip(((pix_y + rect_radius + tile - 1) / tile).astype(jnp.int32), 0, grid_y)
+    # getRect (auxiliary.h:46-57), with one fix: the reference's
+    # (v + BLOCK - 1) / BLOCK int-cast is a ceil only for INTEGER v — for a
+    # fractional center it can exclude the last tile whose edge pixel is
+    # still inside the radius (latent in the reference, masked there by its
+    # looser 3-sigma-max square). floor(v / tile) + 1 is the exact exclusive
+    # bound for the last covered pixel floor(v).
+    rmin_x = jnp.clip(((pix_x - rect_rx) / tile).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((pix_y - rect_ry) / tile).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(
+        jnp.floor((pix_x + rect_rx) / tile).astype(jnp.int32) + 1, 0, grid_x
+    )
+    rmax_y = jnp.clip(
+        jnp.floor((pix_y + rect_ry) / tile).astype(jnp.int32) + 1, 0, grid_y
+    )
     tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
     valid = in_frustum & det_ok & (tiles_touched > 0)

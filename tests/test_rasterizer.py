@@ -231,8 +231,12 @@ def test_tight_rect_lossless(setup):
     r = proj.radius.astype(jnp.float32)
     rmin_x = jnp.clip(((proj.xy[:, 0] - r) / tile).astype(jnp.int32), 0, gx)
     rmin_y = jnp.clip(((proj.xy[:, 1] - r) / tile).astype(jnp.int32), 0, gy)
-    rmax_x = jnp.clip(((proj.xy[:, 0] + r + tile - 1) / tile).astype(jnp.int32), 0, gx)
-    rmax_y = jnp.clip(((proj.xy[:, 1] + r + tile - 1) / tile).astype(jnp.int32), 0, gy)
+    # exact exclusive bound (projection.py fixes the reference's
+    # integer-ceil idiom, which undercounts for fractional centers)
+    rmax_x = jnp.clip(
+        jnp.floor((proj.xy[:, 0] + r) / tile).astype(jnp.int32) + 1, 0, gx)
+    rmax_y = jnp.clip(
+        jnp.floor((proj.xy[:, 1] + r) / tile).astype(jnp.int32) + 1, 0, gy)
     tt = jnp.where(proj.valid, (rmax_x - rmin_x) * (rmax_y - rmin_y), 0)
     proj_wide = proj._replace(
         rect_min=jnp.stack([rmin_x, rmin_y], -1),
@@ -247,12 +251,10 @@ def test_tight_rect_lossless(setup):
         proj_wide, colors, flow, bin_gaussians(proj_wide, gx, gy, 16384),
         width=W, height=H, bg=bg, max_depth=FAR, chunk=64, max_per_tile=2048,
     )
-    # Excluded contributions are exact zeros, but shifted chunk boundaries
-    # re-associate the transmittance product; pixels sitting exactly on the
-    # 1e-4 early-termination latch can flip a marginal contribution. Bound:
-    # overwhelmingly bitwise-equal, tiny bounded diffs on latch pixels only.
+    # Excluded contributions are exact zeros; shifted chunk boundaries can
+    # re-associate the transmittance product by ~1 ulp.
     dc = np.abs(np.asarray(out_tight.color) - np.asarray(out_wide.color))
     da = np.abs(np.asarray(out_tight.acc) - np.asarray(out_wide.acc))
-    assert (dc < 1e-6).mean() > 0.999
-    assert dc.max() < 1e-3
-    assert da.max() < 1e-3
+    assert (dc < 1e-6).mean() == 1.0
+    assert dc.max() < 1e-5
+    assert da.max() < 1e-5
