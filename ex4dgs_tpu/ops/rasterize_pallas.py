@@ -39,7 +39,9 @@ from . import compositing as comp
 from .binning import Binning
 from .projection import Projected, TILE
 
-G_CHUNK = 256  # instances per DMA window; larger = shorter serial chain
+# Instances per DMA window; larger = shorter serial chain, smaller = less
+# per-tile ceil waste. Override for experiments via EX4DGS_GCHUNK.
+G_CHUNK = int(os.environ.get("EX4DGS_GCHUNK", "256"))
 N_PIX = TILE * TILE  # 256
 DATA_ROWS = 16  # packed per-instance rows (one sublane tile)
 # rows: 0 xy_x, 1 xy_y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
