@@ -1,0 +1,93 @@
+"""CPU mini-repro of the _tpu_quality2.py divergence: same schedule shape,
+tiny scene, loss/psnr trajectory printed."""
+import math
+import os
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ex4dgs_tpu.data.cameras import CameraInfo
+from ex4dgs_tpu.data.readers import PointCloud, SceneInfo
+from ex4dgs_tpu.data.scene import Scene
+from ex4dgs_tpu.models import ModelConfig, OptimizationConfig
+from ex4dgs_tpu.ops.math3d import sh0_to_rgb
+from ex4dgs_tpu.rendering import render
+from ex4dgs_tpu.synthetic import make_scene, ring_cameras
+from ex4dgs_tpu.train.trainer import Trainer
+
+W, H = 224, 160
+N_CAMS, N_T = 6, 8
+ITERS = int(os.environ.get("QR_ITERS", 400))
+CAPACITY = 128 * 1024
+
+cfg = ModelConfig(time_interval=2, time_pad=1, start_duration=4, duration=8,
+                  near=0.2, far=50.0, resolution=1)
+target, _ = make_scene(n_static=3_000, n_dynamic=300, duration=8.0, seed=7,
+                       static_capacity=4096, dynamic_capacity=512, cfg=cfg)
+cams = ring_cameras(N_CAMS, 3.0, W, H, far=cfg.far)
+fov = math.radians(60)
+
+out_dir = "/tmp/qr_frames"
+os.makedirs(out_dir, exist_ok=True)
+infos = []
+for ci, cam in enumerate(cams):
+    for t in range(N_T):
+        path = os.path.join(out_dir, f"c{ci}_t{t}.png")
+        img = render(cam, target, cfg, t=jnp.asarray(float(t)),
+                     bg=jnp.zeros(3), capacity=CAPACITY,
+                     max_per_tile=2048, backend="jnp").render
+        img = np.clip(np.asarray(img), 0, 1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(path)
+        view = np.asarray(cam.view)
+        infos.append(CameraInfo(
+            uid=ci, R=view[:3, :3].T, T=view[:3, 3], fovx=fov, fovy=fov,
+            image_path=path, image_name=f"c{ci}_t{t}.png", width=W, height=H,
+            near=cfg.near, far=cfg.far, timestamp=float(t),
+        ))
+print("GT rendered; mean intensity",
+      np.mean([np.asarray(Image.open(i.image_path)).mean() for i in infos]),
+      flush=True)
+
+test_infos = [i for i in infos if i.uid == 0]
+train_infos = [i for i in infos if i.uid != 0]
+rng = np.random.default_rng(0)
+n = 2000
+pts0 = np.asarray(target.params["xyz"][:n]) + rng.normal(
+    scale=0.02, size=(n, 3)).astype(np.float32)
+cols0 = np.clip(np.asarray(sh0_to_rgb(target.params["f_dc"][:n, 0])), 0, 1)
+
+opt = OptimizationConfig(
+    iterations=ITERS,
+    position_lr_init=0.0016, position_lr_final=0.00016,
+    feature_lr=0.025, opacity_lr=0.05, scaling_lr=0.005, disp_lr=0.001,
+    densification_interval=30, densify_from_iter=50,
+    densify_until_iter=int(ITERS * 0.6),
+    extract_from_iter=50, extracton_interval=70,
+    progressive_growing_steps=80, make_dynamic_interval=15,
+    prune_invisible_interval=10_000,
+    random_background=False, static_reg=0.0,
+)
+
+info = SceneInfo(
+    point_cloud=PointCloud(pts0, cols0),
+    train_cameras=train_infos,
+    test_cameras=test_infos,
+    nerf_normalization={"translate": np.zeros(3), "radius": 3.0},
+    ply_path="",
+)
+scene = Scene(cfg, scene_info=info)
+tr = Trainer(cfg, opt, scene, capacity=CAPACITY, max_per_tile=2048,
+             seed=1, backend="jnp", metrics_path="/tmp/qr_metrics.jsonl",
+             log_every=20)
+tr.train(iterations=ITERS)
+print("n_static", int(tr.model.n_static()), "n_dyn", int(tr.model.n_dynamic()))
+from ex4dgs_tpu.ops.losses import psnr
+vs = []
+for inf in test_infos:
+    gt = np.asarray(Image.open(inf.image_path), np.float32)[..., :3] / 255.0
+    img = render(cams[inf.uid], tr.model, cfg, t=jnp.asarray(inf.timestamp),
+                 bg=jnp.zeros(3), capacity=CAPACITY, max_per_tile=2048,
+                 backend="jnp").render
+    vs.append(float(psnr(jnp.clip(img, 0, 1), jnp.asarray(gt))))
+print("test PSNR", np.mean(vs))
