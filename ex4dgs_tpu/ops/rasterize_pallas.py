@@ -537,8 +537,8 @@ def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
 # ---------------------------------------------------------------------------
 
 def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
-                     tfin_in, off_in, _zeros_in, dgrad_out, buf, cum_ref,
-                     pref_ref, dbuf, bw0_ref, sem, wsem, bsem, *, grid_x,
+                     tfin_in, off_in, _zeros_in, dgrad_out, win0_out, buf,
+                     cum_ref, pref_ref, dbuf, bw0_ref, sem, wsem, *, grid_x,
                      subpixel):
     """Recompute the forward walk for a PAIR of adjacent tiles (batched pair
     axis, see _forward_kernel); emit per-instance gradients.
@@ -554,22 +554,24 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     g_end = bg . gc + (direct t_final cotangent); this is the closed form of
     the reference's back-to-front recurrence (backward.cu:552-660).
 
-    Gradient-window discipline (128-aligned windows, sequential grid):
-    * pane A (tile 2p): window 0 is read-modify-write (it may straddle the
-      previous program's last window — fully flushed by its epilogue);
-      windows >= 1 are plain double-buffered writes.
-    * panes k >= 1 (tiles PAIR*p+k): each pane's FIRST window may be the
-      previous pane's last window, which is still streaming — so window-0
-      gradients accumulate in a resident VMEM buffer (bw0_ref[k-1]) and are
-      merged read-modify-write in the epilogue IN PANE ORDER, after every
-      earlier write (incl. zero-fill) has completed. Windows >= 1 start past
-      the previous pane's range (sorted ranges are contiguous) and are plain
-      writes."""
+    Gradient-window discipline: write windows live on the G_CHUNK-aligned
+    grid, so two tiles' windows either coincide EXACTLY or are disjoint —
+    finer alignment would let a tile's trailing window overlap its successor's
+    j>=1 windows by a sub-chunk phase, racing plain writes. The one legal
+    collision (a tile's window 0 == its predecessor's last window, possibly
+    in the previous program) is resolved OUTSIDE the kernel: every pane's
+    window-0 gradients accumulate in VMEM (bw0_ref) and leave through the
+    separate `win0_out` output, which _backward_pallas adds back with one
+    windowed scatter-add. In-kernel there are NO read-modify-writes, seeds or
+    merges — per tile the epilogue only drains its last two plain writes and
+    zero-fills never-reached windows."""
     p = pl.program_id(0)
     t0 = p * PAIR
     start_k = [starts[t0 + k] for k in range(PAIR)]
     stop_k = [stops[t0 + k] for k in range(PAIR)]
-    base_k = [(s // WIN_ALIGN) * WIN_ALIGN for s in start_k]
+    # gradient WRITE windows must stay on the G_CHUNK grid (see docstring);
+    # read windows share the bases for simplicity
+    base_k = [(s // G_CHUNK) * G_CHUNK for s in start_k]
     n_k = [pl.cdiv(stop_k[k] - base_k[k], G_CHUNK) for k in range(PAIR)]
     oxy = [_tile_origin(tids[t0 + k], grid_x) for k in range(PAIR)]
     ox = _pair_scalars([o[0] for o in oxy])
@@ -583,7 +585,7 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
 
     cum_ref[:] = jnp.ones((PAIR, N_PIX, 1), jnp.float32)
     pref_ref[:] = jnp.zeros((PAIR, N_PIX, 1), jnp.float32)
-    bw0_ref[:] = jnp.zeros((PAIR - 1, DATA_ROWS, G_CHUNK), jnp.float32)
+    bw0_ref[:] = jnp.zeros((PAIR, DATA_ROWS, G_CHUNK), jnp.float32)
     buf[:] = jnp.zeros(buf.shape, jnp.float32)  # stale panes must be finite
     gacc = gacc_in[:]  # [PAIR, N_PIX, N_ACC]
     gc_r = gacc[:, :, 0:1]
@@ -595,26 +597,26 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     cumU = _cumsum_matrix()
 
     def start_read(k, j, slot):
-        off = _win(base_k[k] + j * G_CHUNK)
+        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
         pltpu.make_async_copy(
             data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
         ).start()
 
     def wait_read(k, j, slot):
-        off = _win(base_k[k] + j * G_CHUNK)
+        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
         pltpu.make_async_copy(
             data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
         ).wait()
 
     def start_write(k, j, slot):
-        off = _win(base_k[k] + j * G_CHUNK)
+        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
         pltpu.make_async_copy(
             dbuf.at[slot, k], dgrad_out.at[:, pl.ds(off, G_CHUNK)],
             wsem.at[slot, k],
         ).start()
 
     def wait_write(k, j, slot):
-        off = _win(base_k[k] + j * G_CHUNK)
+        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
         pltpu.make_async_copy(
             dbuf.at[slot, k], dgrad_out.at[:, pl.ds(off, G_CHUNK)],
             wsem.at[slot, k],
@@ -625,16 +627,6 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
             @pl.when(d < n_k[k])
             def _(k=k, d=d):
                 start_read(k, d, d)
-
-    @pl.when(n_k[0] > 0)
-    def _():
-        # pane A window-0 read-modify-write seed
-        rdma = pltpu.make_async_copy(
-            dgrad_out.at[:, pl.ds(_win(base_k[0]), G_CHUNK)],
-            dbuf.at[0, 0], wsem.at[0, 0],
-        )
-        rdma.start()
-        rdma.wait()
 
     def body(carry):
         j, _ = carry
@@ -649,11 +641,8 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
                 wait_read(k, j, rslot)
 
         # drain the writes that last used this slot (chunk j-2) per pane;
-        # panes >= 1 have no in-flight write for chunk 0 (held in bw0_ref)
-        @pl.when((j >= 2) & (j - 2 < n_k[0]))
-        def _():
-            wait_write(0, j - 2, slot)
-        for k in range(1, PAIR):
+        # no pane has an in-flight write for chunk 0 (held in bw0_ref)
+        for k in range(PAIR):
             @pl.when((j >= 3) & (j - 2 < n_k[k]))
             def _(k=k):
                 wait_write(k, j - 2, slot)
@@ -726,16 +715,12 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
             jnp.zeros((PAIR, 2, G_CHUNK), jnp.float32),
         ], axis=1)  # [PAIR, DATA_ROWS, G_CHUNK]
 
-        @pl.when(j < n_k[0])
-        def _():
-            dbuf[slot, 0] += gchunk[0]
-            start_write(0, j, slot)
-        for k in range(1, PAIR):
+        for k in range(PAIR):
             @pl.when(j < n_k[k])
             def _(k=k):
                 @pl.when(j == 0)
                 def _():
-                    bw0_ref[k - 1] += gchunk[k]
+                    bw0_ref[k] += gchunk[k]
                 @pl.when(j > 0)
                 def _():
                     dbuf[slot, k] += gchunk[k]
@@ -773,14 +758,7 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     # device, so the epilogue must skip chunks the loop drained (a pane that
     # exhausted before its partner has none outstanding at all). Pane B's
     # chunk-0 "write" lives in bw0_ref, not a DMA.
-    last_a = jnp.minimum(j_exit, n_k[0])
-    @pl.when((last_a >= 2) & (last_a - 2 >= j_exit - 2))
-    def _():
-        wait_write(0, last_a - 2, jax.lax.rem(last_a - 2, 2))
-    @pl.when((last_a >= 1) & (last_a - 1 >= j_exit - 2))
-    def _():
-        wait_write(0, last_a - 1, jax.lax.rem(last_a - 1, 2))
-    for k in range(1, PAIR):
+    for k in range(PAIR):
         last_b = jnp.minimum(j_exit, n_k[k])
         @pl.when((last_b >= 3) & (last_b - 2 >= j_exit - 2))
         def _(k=k, last_b=last_b):
@@ -790,17 +768,16 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
             wait_write(k, last_b - 1, jax.lax.rem(last_b - 1, 2))
 
     # zero-fill never-computed windows (post-latch gradients are exactly
-    # zero, but the output slice must be initialized — and pane A's fills
-    # must land before pane B's window-0 merge below reads them). Pane B
-    # fills start at window max(j_exit, 1): window 0 is merged from bw0_ref.
+    # zero, but the output slice must be initialized). Fills start at window
+    # max(j_exit, 1): window 0 always leaves through win0_out.
     for k in range(PAIR):
         @pl.when(j_exit < n_k[k])
         def _(k=k):
             dbuf[0, k] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
-            lo_j = jnp.maximum(j_exit, 1) if k >= 1 else j_exit
+            lo_j = jnp.maximum(j_exit, 1)
 
             def zbody(j, _):
-                off = _win(base_k[k] + j * G_CHUNK)
+                off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
                 zdma = pltpu.make_async_copy(
                     dbuf.at[0, k], dgrad_out.at[:, pl.ds(off, G_CHUNK)],
                     wsem.at[0, k],
@@ -811,24 +788,9 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
 
             jax.lax.fori_loop(lo_j, n_k[k], zbody, 0)
 
-    # merge panes' window-0 gradients in PANE ORDER: each read-modify-write
-    # runs after every earlier pane's write (incl. the previous merge, whose
-    # last window may be this very window) has completed
-    for k in range(1, PAIR):
-        @pl.when(n_k[k] > 0)
-        def _(k=k):
-            off = _win(base_k[k])
-            rdma = pltpu.make_async_copy(
-                dgrad_out.at[:, pl.ds(off, G_CHUNK)], dbuf.at[1, k], bsem
-            )
-            rdma.start()
-            rdma.wait()
-            dbuf[1, k] += bw0_ref[k - 1]
-            wdma = pltpu.make_async_copy(
-                dbuf.at[1, k], dgrad_out.at[:, pl.ds(off, G_CHUNK)], bsem
-            )
-            wdma.start()
-            wdma.wait()
+    # window-0 gradients leave through the pipelined win0 output; the caller
+    # adds them into dgrad with one windowed scatter-add
+    win0_out[:] = bw0_ref[:]
 
 
 def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
@@ -847,12 +809,6 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
     acdot = _pad_pair(acdot, num_tiles)
     gend = _pad_pair(gend, num_tiles)
     tfin = _pad_pair(tfin, num_tiles)
-    buf_cap = capacity
-    if WIN_ALIGN < G_CHUNK:
-        # grad windows land in the same padded range as the reads (see
-        # _forward_pallas); the pad (always zero gradients) is sliced off
-        buf_cap = capacity + G_CHUNK
-        data = jnp.pad(data, ((0, 0), (0, G_CHUNK)))
     t_pad = starts.shape[0]
     kernel = functools.partial(_backward_kernel, grid_x=grid_x,
                                subpixel=subpixel)
@@ -873,31 +829,53 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
             pl.BlockSpec((PAIR, N_PIX, 2), off_map, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # dgrad zero-init (aliased)
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((PAIR, DATA_ROWS, G_CHUNK), lambda p, *_: (p, 0, 0),
+                         memory_space=pltpu.VMEM),  # per-tile window-0 grads
+        ],
         scratch_shapes=[
             pltpu.VMEM((BUFS, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # buf
             pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # cum
             pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # prefix
             pltpu.VMEM((2, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # dbuf x2
-            pltpu.VMEM((PAIR - 1, DATA_ROWS, G_CHUNK), jnp.float32),  # win-0
-            # accumulators for panes >= 1
+            pltpu.VMEM((PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # win-0 accum
             pltpu.SemaphoreType.DMA((BUFS, PAIR)),
             pltpu.SemaphoreType.DMA((2, PAIR)),
-            pltpu.SemaphoreType.DMA,
         ],
     )
-    zeros = jnp.zeros((DATA_ROWS, buf_cap), jnp.float32)
-    dgrad = pl.pallas_call(
+    zeros = jnp.zeros((DATA_ROWS, capacity), jnp.float32)
+    dgrad, win0 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((DATA_ROWS, buf_cap), jnp.float32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((DATA_ROWS, capacity), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, DATA_ROWS, G_CHUNK), jnp.float32),
+        ],
         # alias indices count ALL operands incl. scalar prefetch: starts=0,
         # stops=1, tids=2, data=3, cotangents 4..7, off=8, zeros=9 -> out 0
         input_output_aliases={9: 0},
         interpret=interpret,
     )(starts, stops, tids, data, gacc, acdot, gend, tfin, subpixel_offsets,
-      zeros)[0]
-    return dgrad[:, :capacity] if buf_cap != capacity else dgrad
+      zeros)
+    # Add each tile's window-0 gradients at its G_CHUNK-aligned base — a
+    # windowed scatter-add over ~num_tiles indices (the kernel cannot RMW
+    # these in place: a tile's window 0 may be its predecessor's still-
+    # streaming last window). Empty tiles contribute zeros at base 0.
+    bases = jnp.where(
+        stops > starts, (starts // G_CHUNK) * G_CHUNK, 0
+    ).astype(jnp.int32)
+    win0 = jnp.where((stops > starts)[:, None, None], win0, 0.0)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(1,),
+    )
+    dgrad = jax.lax.scatter_add(
+        dgrad, bases[:, None], win0, dnums,
+        indices_are_sorted=False, unique_indices=False,
+    )
+    return dgrad
 
 
 # ---------------------------------------------------------------------------

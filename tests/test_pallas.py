@@ -183,3 +183,52 @@ def test_pack_gather_segment_vjp_matches_scatter():
     g1 = jax.grad(f)(jnp.asarray(cols))
     g2 = jax.grad(f_ref)(jnp.asarray(cols))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)
+
+
+def test_pallas_backward_long_lists_window_phases():
+    """Adversarial geometry: every tile's instance list spans MANY DMA
+    windows with arbitrary start phases. Guards the gradient-window
+    discipline — write windows must live on one shared G_CHUNK grid (a finer
+    per-tile alignment lets a tile's trailing window overlap its successor's
+    j>=1 windows and race their plain writes; this configuration catches
+    that corruption)."""
+    cam, meta = make_camera(W, H)
+    n = 1500
+    sc = random_gaussians(n, seed=5)
+    # huge, faint splats: every splat covers most tiles, no early latch
+    big = jnp.log(jnp.full_like(jnp.exp(sc["log_scales"]), 1.5))
+    cov3d = compute_cov3d(jnp.exp(big), sc["quats"])
+    opac = jnp.full((n,), 0.02, jnp.float32)
+    proj = project_gaussians(
+        sc["means"], cov3d, opac, cam,
+        width=W, height=H, tan_fovx=meta["tan_fovx"], tan_fovy=meta["tan_fovy"],
+        kernel_size=0.1, min_depth=0.2, max_depth=100.0,
+    )
+    sh = jnp.concatenate([sc["sh_dc"], sc["sh_rest"]], axis=1)
+    colors = m3.sh_to_rgb(3, sh, sc["means"], cam.campos)
+    flow = jnp.zeros((n, 3), jnp.float32)
+    gx, gy = tile_grid(W, H)
+    binning = bin_gaussians(proj, gx, gy, 32768)
+    assert int(binning.total) > 6000  # multi-window lists, varied phases
+    bg = jnp.zeros(3)
+    tgt = jnp.asarray(
+        np.random.default_rng(2).uniform(size=(H, W, 3)).astype(np.float32)
+    )
+
+    def loss_with(path):
+        def f(colors, opac):
+            p = proj._replace(opacity=opac)
+            out = path(p, colors, flow, binning, width=W, height=H, bg=bg,
+                       max_depth=100.0)
+            return jnp.abs(out.color - tgt).mean()
+        return f
+
+    f_ref = loss_with(lambda *a, **k: rt.rasterize_tiled(
+        *a, chunk=64, max_per_tile=8192, **k))
+    f_pal = loss_with(lambda *a, **k: rp.rasterize_tiled_pallas(
+        *a, interpret=True, **k))
+    g_ref = jax.grad(f_ref, argnums=(0, 1))(colors, proj.opacity)
+    g_pal = jax.grad(f_pal, argnums=(0, 1))(colors, proj.opacity)
+    for a, b, name in zip(g_pal, g_ref, ("colors", "opacity")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+                                   err_msg=name)
