@@ -858,24 +858,39 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
         interpret=interpret,
     )(starts, stops, tids, data, gacc, acdot, gend, tfin, subpixel_offsets,
       zeros)
-    # Add each tile's window-0 gradients at its G_CHUNK-aligned base — a
-    # windowed scatter-add over ~num_tiles indices (the kernel cannot RMW
-    # these in place: a tile's window 0 may be its predecessor's still-
-    # streaming last window). Empty tiles contribute zeros at base 0.
-    bases = jnp.where(
-        stops > starts, (starts // G_CHUNK) * G_CHUNK, 0
-    ).astype(jnp.int32)
-    win0 = jnp.where((stops > starts)[:, None, None], win0, 0.0)
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2),
-        inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(1,),
-    )
-    dgrad = jax.lax.scatter_add(
-        dgrad, bases[:, None], win0, dnums,
-        indices_are_sorted=False, unique_indices=False,
-    )
-    return dgrad
+    # Add each tile's window-0 gradients at its G_CHUNK-aligned base (the
+    # kernel cannot RMW these in place: a tile's window 0 may be its
+    # predecessor's still-streaming last window). An XLA windowed scatter-add
+    # serializes its ~num_tiles updates (~15 ms at N3V scale); instead the
+    # per-block sums are built densely: tile starts are sorted, so the tiles
+    # mapping to one G_CHUNK block form a contiguous run — an inclusive
+    # prefix over tiles (MXU block-cumsum) turns every block's sum into a
+    # difference of two gathered rows.
+    from .scan_ops import matmul_block_cumsum
+
+    n_blocks = capacity // G_CHUNK
+    t_real = num_tiles
+    # padded tiles (t >= num_tiles) have start=0 and zero win0 — exclude to
+    # keep `seg` sorted
+    w = win0[:t_real].reshape(t_real, DATA_ROWS * G_CHUNK)
+    t_round = -(-t_real // 256) * 256  # MXU block-cumsum wants a 256-multiple
+    if t_round != t_real:
+        w = jnp.pad(w, ((0, t_round - t_real), (0, 0)))
+    pref = matmul_block_cumsum(w)  # [T, 16*G] inclusive over tiles
+    seg = (starts[:t_real] // G_CHUNK).astype(jnp.int32)  # nondecreasing
+    blocks = jnp.arange(n_blocks, dtype=jnp.int32)
+    lo = jnp.searchsorted(seg, blocks, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(seg, blocks, side="right").astype(jnp.int32)
+    hi_v = jnp.where(
+        (hi > 0)[:, None], jnp.take(pref, jnp.clip(hi - 1, 0, t_real - 1),
+                                    axis=0), 0.0)
+    lo_v = jnp.where(
+        (lo > 0)[:, None], jnp.take(pref, jnp.clip(lo - 1, 0, t_real - 1),
+                                    axis=0), 0.0)
+    addend = jnp.where((hi > lo)[:, None], hi_v - lo_v, 0.0)
+    addend = addend.reshape(n_blocks, DATA_ROWS, G_CHUNK)
+    addend = jnp.moveaxis(addend, 1, 0).reshape(DATA_ROWS, capacity)
+    return dgrad + addend
 
 
 # ---------------------------------------------------------------------------
