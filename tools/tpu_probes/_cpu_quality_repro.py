@@ -21,7 +21,8 @@ N_CAMS, N_T = 6, 8
 ITERS = int(os.environ.get("QR_ITERS", 400))
 CAPACITY = 128 * 1024
 
-cfg = ModelConfig(time_interval=2, time_pad=1, start_duration=4, duration=8,
+_sd = 8 if __import__("os").environ.get("QR_Q2SCHED") else 4
+cfg = ModelConfig(time_interval=2, time_pad=1, start_duration=_sd, duration=8,
                   near=0.2, far=50.0, resolution=1)
 target, _ = make_scene(n_static=3_000, n_dynamic=300, duration=8.0, seed=7,
                        static_capacity=4096, dynamic_capacity=512, cfg=cfg)
@@ -57,17 +58,33 @@ pts0 = np.asarray(target.params["xyz"][:n]) + rng.normal(
     scale=0.02, size=(n, 3)).astype(np.float32)
 cols0 = np.clip(np.asarray(sh0_to_rgb(target.params["f_dc"][:n, 0])), 0, 1)
 
-opt = OptimizationConfig(
-    iterations=ITERS,
-    position_lr_init=0.0016, position_lr_final=0.00016,
-    feature_lr=0.025, opacity_lr=0.05, scaling_lr=0.005, disp_lr=0.001,
-    densification_interval=30, densify_from_iter=50,
-    densify_until_iter=int(ITERS * 0.6),
-    extract_from_iter=50, extracton_interval=70,
-    progressive_growing_steps=80, make_dynamic_interval=15,
-    prune_invisible_interval=10_000,
-    random_background=False, static_reg=0.0,
-)
+import os as _os
+if _os.environ.get("QR_Q2SCHED"):
+    # quality2's exact schedule (scaled iteration count) for CPU bisection
+    opt = OptimizationConfig(
+        iterations=ITERS,
+        position_lr_init=0.0016, position_lr_final=0.00016,
+        feature_lr=0.025, opacity_lr=0.05, scaling_lr=0.005, disp_lr=0.001,
+        densification_interval=100, densify_from_iter=100,
+        densify_until_iter=int(ITERS * 0.6),
+        densify_grad_threshold=0.0008, densify_dgrad_threshold=0.0004,
+        extract_from_iter=200, extracton_interval=250,
+        progressive_growing_steps=100000, make_dynamic_interval=50,
+        prune_invisible_interval=10_000,
+        random_background=False, static_reg=0.0,
+    )
+else:
+    opt = OptimizationConfig(
+        iterations=ITERS,
+        position_lr_init=0.0016, position_lr_final=0.00016,
+        feature_lr=0.025, opacity_lr=0.05, scaling_lr=0.005, disp_lr=0.001,
+        densification_interval=30, densify_from_iter=50,
+        densify_until_iter=int(ITERS * 0.6),
+        extract_from_iter=50, extracton_interval=70,
+        progressive_growing_steps=80, make_dynamic_interval=15,
+        prune_invisible_interval=10_000,
+        random_background=False, static_reg=0.0,
+    )
 
 info = SceneInfo(
     point_cloud=PointCloud(pts0, cols0),
