@@ -138,16 +138,18 @@ def pack_sorted(proj: Projected, colors, flow, binning: Binning):
 # EX4DGS_PAIR (read once at import).
 PAIR = int(os.environ.get("EX4DGS_PAIR", "2"))
 
-# Window-origin alignment granularity. Each tile's DMA chain starts at the
-# WIN_ALIGN-aligned slot below its range start, wasting avg WIN_ALIGN/2
-# leading masked lanes per tile. Mosaic requires lane-dimension DMA offsets
-# provably divisible by the 128-lane tiling, so 128 is the finest legal
-# granularity (fully exact starts fail to compile: "Failed to prove that a
-# tile index in dimension 1 is divisible by the tiling"). With WIN_ALIGN <
-# G_CHUNK a tile's last window can extend up to G_CHUNK-WIN_ALIGN slots past
-# `capacity`, so the wrappers pad the instance arrays by one window (the
-# sorted ranges stay contiguous, so every RMW / window-0-merge invariant is
-# unchanged).
+# FORWARD window-origin alignment granularity. Each tile's read-DMA chain
+# starts at the WIN_ALIGN-aligned slot below its range start, wasting avg
+# WIN_ALIGN/2 leading masked lanes per tile. Mosaic requires lane-dimension
+# DMA offsets provably divisible by the 128-lane tiling, so 128 is the
+# finest legal granularity (fully exact starts fail to compile: "Failed to
+# prove that a tile index in dimension 1 is divisible by the tiling"). With
+# WIN_ALIGN < G_CHUNK a tile's last window can extend up to
+# G_CHUNK - WIN_ALIGN slots past `capacity`, so the forward wrapper pads the
+# instance arrays by one window. The BACKWARD ignores this knob: its write
+# windows must all live on ONE shared G_CHUNK grid (finer per-tile alignment
+# lets a tile's trailing window overlap its successor's windows by a
+# sub-chunk phase and race the plain writes — see _backward_kernel).
 WIN_ALIGN = int(os.environ.get("EX4DGS_ALIGN", "128"))
 assert WIN_ALIGN in (128, 256), WIN_ALIGN
 
