@@ -563,10 +563,11 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     collision (a tile's window 0 == its predecessor's last window, possibly
     in the previous program) is resolved OUTSIDE the kernel: every pane's
     window-0 gradients accumulate in VMEM (bw0_ref) and leave through the
-    separate `win0_out` output, which _backward_pallas adds back with one
-    windowed scatter-add. In-kernel there are NO read-modify-writes, seeds or
-    merges — per tile the epilogue only drains its last two plain writes and
-    zero-fills never-reached windows."""
+    separate `win0_out` output, which _backward_pallas adds back densely
+    (per-block prefix differences — an XLA windowed scatter-add would
+    serialize its ~num_tiles updates). In-kernel there are NO
+    read-modify-writes, seeds or merges — per tile the epilogue only drains
+    its last two plain writes and zero-fills never-reached windows."""
     p = pl.program_id(0)
     t0 = p * PAIR
     start_k = [starts[t0 + k] for k in range(PAIR)]
