@@ -14,9 +14,17 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+import os
+
 from .math3d import cov3d_from_scaling_rotation, ewa_project_cov, ndc2pix
 
-TILE = 16  # pixels per tile edge (config.h:16-17); keep 16 for parity
+# Tile shape in pixels. The reference uses 16x16 (config.h:16-17) and that
+# stays the default; on TPU wider tiles amortize per-tile costs and cut the
+# instance count (fewer tiles touched per splat) at the price of more blend
+# pairs — override for experiments via EX4DGS_TILE="32x16" etc.
+_tile_env = os.environ.get("EX4DGS_TILE", "16x16")
+TILE_X, TILE_Y = (int(v) for v in _tile_env.lower().split("x"))
+assert TILE_X * TILE_Y <= 1024 and TILE_X % 8 == 0 and TILE_Y % 8 == 0
 
 
 class CameraArrays(NamedTuple):
@@ -41,8 +49,9 @@ class Projected(NamedTuple):
     valid: jnp.ndarray  # [P] bool
 
 
-def tile_grid(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
-    return (width + tile - 1) // tile, (height + tile - 1) // tile
+def tile_grid(width: int, height: int, tile: int | None = None) -> tuple[int, int]:
+    tx, ty = (tile, tile) if tile is not None else (TILE_X, TILE_Y)
+    return (width + tx - 1) // tx, (height + ty - 1) // ty
 
 
 def project_gaussians(
@@ -59,7 +68,6 @@ def project_gaussians(
     min_depth: float = 0.2,
     max_depth: float = 100.0,
     mean2d_ndc_offset: jnp.ndarray | None = None,
-    tile: int = TILE,
 ) -> Projected:
     """Project Gaussians to screen space.
 
@@ -143,20 +151,20 @@ def project_gaussians(
     pix_y = ndc2pix(py_ndc, height)
     xy = jnp.stack([pix_x, pix_y], axis=-1)
 
-    grid_x, grid_y = tile_grid(width, height, tile)
+    grid_x, grid_y = tile_grid(width, height)
     # getRect (auxiliary.h:46-57), with one fix: the reference's
     # (v + BLOCK - 1) / BLOCK int-cast is a ceil only for INTEGER v — for a
     # fractional center it can exclude the last tile whose edge pixel is
     # still inside the radius (latent in the reference, masked there by its
     # looser 3-sigma-max square). floor(v / tile) + 1 is the exact exclusive
     # bound for the last covered pixel floor(v).
-    rmin_x = jnp.clip(((pix_x - rect_rx) / tile).astype(jnp.int32), 0, grid_x)
-    rmin_y = jnp.clip(((pix_y - rect_ry) / tile).astype(jnp.int32), 0, grid_y)
+    rmin_x = jnp.clip(((pix_x - rect_rx) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((pix_y - rect_ry) / TILE_Y).astype(jnp.int32), 0, grid_y)
     rmax_x = jnp.clip(
-        jnp.floor((pix_x + rect_rx) / tile).astype(jnp.int32) + 1, 0, grid_x
+        jnp.floor((pix_x + rect_rx) / TILE_X).astype(jnp.int32) + 1, 0, grid_x
     )
     rmax_y = jnp.clip(
-        jnp.floor((pix_y + rect_ry) / tile).astype(jnp.int32) + 1, 0, grid_y
+        jnp.floor((pix_y + rect_ry) / TILE_Y).astype(jnp.int32) + 1, 0, grid_y
     )
     tiles_touched = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 

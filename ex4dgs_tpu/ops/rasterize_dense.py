@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import compositing as comp
-from .projection import Projected, TILE
+from .projection import TILE_X, TILE_Y, Projected
 
 
 def rasterize_dense(
@@ -23,7 +23,6 @@ def rasterize_dense(
     height: int,
     bg: jnp.ndarray,  # [3]
     max_depth: float,
-    tile: int = TILE,
     subpixel_offset: jnp.ndarray | None = None,
     chunk: int = 0,
 ) -> comp.RenderOutputs:
@@ -44,8 +43,8 @@ def rasterize_dense(
     pixf = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
     if subpixel_offset is not None:
         pixf = pixf + subpixel_offset
-    tx = (xs // tile)[..., None]  # [H, W, 1]
-    ty = (ys // tile)[..., None]
+    tx = (xs // TILE_X)[..., None]  # [H, W, 1]
+    ty = (ys // TILE_Y)[..., None]
 
     carry = comp.init_carry((height, width), 8)
     step = P if chunk <= 0 else chunk

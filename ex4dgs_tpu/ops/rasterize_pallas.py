@@ -37,12 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import compositing as comp
 from .binning import Binning
-from .projection import Projected, TILE
+from .projection import TILE_X, TILE_Y, Projected
 
 # Instances per DMA window; larger = shorter serial chain, smaller = less
 # per-tile ceil waste. Override for experiments via EX4DGS_GCHUNK.
 G_CHUNK = int(os.environ.get("EX4DGS_GCHUNK", "256"))
-N_PIX = TILE * TILE  # 256
+N_PIX = TILE_X * TILE_Y  # 256 at the default 16x16
 DATA_ROWS = 16  # packed per-instance rows (one sublane tile)
 # rows: 0 xy_x, 1 xy_y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
 #       6 r, 7 g, 8 b, 9 depth, 10 fx, 11 fy, 12 fz, 13 one, 14-15 pad
@@ -168,7 +168,7 @@ def _tile_origin(tile_idx, grid_x):
     """Tile origin (ox, oy) scalars for a GLOBAL tile index."""
     ty = tile_idx // grid_x
     tx = tile_idx - ty * grid_x
-    return (tx * TILE).astype(jnp.float32), (ty * TILE).astype(jnp.float32)
+    return (tx * TILE_X).astype(jnp.float32), (ty * TILE_Y).astype(jnp.float32)
 
 
 def _local_pixels():
@@ -178,8 +178,8 @@ def _local_pixels():
     power evaluation would otherwise cancel catastrophically in fp32 (global
     px^2 reaches ~2e6 at N3V resolution while the exponent itself is O(1))."""
     p = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, 1), 0)
-    px = (p % TILE).astype(jnp.float32)
-    py = (p // TILE).astype(jnp.float32)
+    px = (p % TILE_X).astype(jnp.float32)
+    py = (p // TILE_X).astype(jnp.float32)
     return px, py
 
 
@@ -966,7 +966,7 @@ def rasterize_tiled_pallas(
     height: int,
     bg: jnp.ndarray,
     max_depth: float,
-    tile: int = TILE,
+    tile: int | None = None,
     interpret: bool = False,
     track_idx: bool = True,
     subpixel_offset: jnp.ndarray | None = None,
@@ -977,22 +977,22 @@ def rasterize_tiled_pallas(
     track_idx=False skips the dominant-contributor bookkeeping (the training
     loop never consumes it — train.py ignores `dominent_idxs`); `idx` comes
     back as -1s. subpixel_offset: optional [H, W, 2] AA offsets."""
-    assert tile == TILE
-    grid_x = (width + tile - 1) // tile
-    grid_y = (height + tile - 1) // tile
+    assert tile is None or (tile == TILE_X and tile == TILE_Y)
+    grid_x = (width + TILE_X - 1) // TILE_X
+    grid_y = (height + TILE_Y - 1) // TILE_Y
     num_tiles = grid_x * grid_y
     capacity = binning.order.shape[0]
     assert capacity % G_CHUNK == 0, f"binning capacity must be a multiple of {G_CHUNK}"
 
     offsets_t = None
-    if subpixel_offset is not None:  # [H, W, 2] -> per-tile [T, 256, 2]
-        pad_y = grid_y * tile - height
-        pad_x = grid_x * tile - width
+    if subpixel_offset is not None:  # [H, W, 2] -> per-tile [T, N_PIX, 2]
+        pad_y = grid_y * TILE_Y - height
+        pad_x = grid_x * TILE_X - width
         off = jnp.pad(subpixel_offset, ((0, pad_y), (0, pad_x), (0, 0)))
         offsets_t = (
-            off.reshape(grid_y, tile, grid_x, tile, 2)
+            off.reshape(grid_y, TILE_Y, grid_x, TILE_X, 2)
             .transpose(0, 2, 1, 3, 4)
-            .reshape(num_tiles, tile * tile, 2)
+            .reshape(num_tiles, N_PIX, 2)
         )
 
     data, gid = pack_sorted(proj, colors, flow, binning)
@@ -1009,10 +1009,11 @@ def rasterize_tiled_pallas(
     depth = jnp.where(has, accum[..., 3] / denom, max_depth)
     flow_img = jnp.where(has[..., None], accum[..., 4:7] / denom[..., None], 0.0)
 
-    def timg(arr):  # [T, 256, ...] -> [H, W, ...]
+    def timg(arr):  # [T, N_PIX, ...] -> [H, W, ...]
         ch = arr.shape[2:]
-        img = arr.reshape(grid_y, grid_x, tile, tile, *ch)
-        img = jnp.moveaxis(img, 2, 1).reshape(grid_y * tile, grid_x * tile, *ch)
+        img = arr.reshape(grid_y, grid_x, TILE_Y, TILE_X, *ch)
+        img = jnp.moveaxis(img, 2, 1).reshape(
+            grid_y * TILE_Y, grid_x * TILE_X, *ch)
         return img[:height, :width]
 
     return comp.RenderOutputs(

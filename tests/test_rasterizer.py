@@ -224,19 +224,20 @@ def test_tight_rect_lossless(setup):
     from ex4dgs_tpu.ops.binning import bin_gaussians
     from ex4dgs_tpu.ops.projection import tile_grid
 
+    from ex4dgs_tpu.ops.projection import TILE_X, TILE_Y
+
     cam, camdims, scene, proj, colors, flow, bg = setup
     # rebuild rects at the reference's full 3-sigma radius
-    tile = 16
     gx, gy = tile_grid(W, H)
     r = proj.radius.astype(jnp.float32)
-    rmin_x = jnp.clip(((proj.xy[:, 0] - r) / tile).astype(jnp.int32), 0, gx)
-    rmin_y = jnp.clip(((proj.xy[:, 1] - r) / tile).astype(jnp.int32), 0, gy)
+    rmin_x = jnp.clip(((proj.xy[:, 0] - r) / TILE_X).astype(jnp.int32), 0, gx)
+    rmin_y = jnp.clip(((proj.xy[:, 1] - r) / TILE_Y).astype(jnp.int32), 0, gy)
     # exact exclusive bound (projection.py fixes the reference's
     # integer-ceil idiom, which undercounts for fractional centers)
     rmax_x = jnp.clip(
-        jnp.floor((proj.xy[:, 0] + r) / tile).astype(jnp.int32) + 1, 0, gx)
+        jnp.floor((proj.xy[:, 0] + r) / TILE_X).astype(jnp.int32) + 1, 0, gx)
     rmax_y = jnp.clip(
-        jnp.floor((proj.xy[:, 1] + r) / tile).astype(jnp.int32) + 1, 0, gy)
+        jnp.floor((proj.xy[:, 1] + r) / TILE_Y).astype(jnp.int32) + 1, 0, gy)
     tt = jnp.where(proj.valid, (rmax_x - rmin_x) * (rmax_y - rmin_y), 0)
     proj_wide = proj._replace(
         rect_min=jnp.stack([rmin_x, rmin_y], -1),
