@@ -21,7 +21,9 @@ from .math3d import cov3d_from_scaling_rotation, ewa_project_cov, ndc2pix
 # Tile shape in pixels. The reference uses 16x16 (config.h:16-17) and that
 # stays the default; on TPU wider tiles amortize per-tile costs and cut the
 # instance count (fewer tiles touched per splat) at the price of more blend
-# pairs — override for experiments via EX4DGS_TILE="32x16" etc.
+# pairs — override for experiments via EX4DGS_TILE="32x16" etc. (with 512+
+# pixels per tile also set EX4DGS_PAIR=1: the backward kernel's live set at
+# PAIR=2 exceeds the 16 MB scoped-VMEM limit).
 _tile_env = os.environ.get("EX4DGS_TILE", "16x16")
 TILE_X, TILE_Y = (int(v) for v in _tile_env.lower().split("x"))
 assert TILE_X * TILE_Y <= 1024 and TILE_X % 8 == 0 and TILE_Y % 8 == 0
