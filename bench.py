@@ -2,20 +2,30 @@
 
 Mirrors the reference's training-step hot path (render -> L1+SSIM loss ->
 full backward) at the N3V training resolution (1352x1014,
-configs/N3V/n3v_base.json:9) with a realistic splat count.
+configs/N3V/n3v_base.json:9) with a realistic splat count, and additionally
+times the FULL jitted train step (render + loss + backward + RAdam + stat
+accumulators, train/step.py — the analog of the reference's whole iteration
+body, train.py:108-255) so step overheads can't hide outside the headline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 `vs_baseline` is relative to BASELINE.md's documented ESTIMATE of the
 reference CUDA rasterizer's fwd+bwd throughput on an RTX 4090 (~40 Mpix/s,
 derived from its ~1h/40k-iteration training wall time at this resolution;
 the repo publishes no numbers — see BASELINE.md).
+
+Transient-backend retry: the TPU compile service occasionally reports
+`Unable to initialize backend 'axon': UNAVAILABLE` (this burned the round-2
+driver bench and two judge re-runs). JAX caches backend-init failures
+in-process, so the retry re-execs this script as a subprocess (bounded
+attempts, fixed backoff) and only retries on transient-looking errors.
 """
 from __future__ import annotations
 
 import json
-import time
-
 import os
+import subprocess
+import sys
+import time
 
 BASELINE_MPIX_S = 40.0  # documented estimate, see BASELINE.md
 W = int(os.environ.get("BENCH_W", 1352))
@@ -23,6 +33,41 @@ H = int(os.environ.get("BENCH_H", 1014))
 N_STATIC = int(os.environ.get("BENCH_STATIC", 100_000))
 N_DYNAMIC = int(os.environ.get("BENCH_DYNAMIC", 10_000))
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
+
+_TRANSIENT = (
+    "Unable to initialize backend",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "failed to connect",
+)
+
+
+def _run_with_retry() -> int:
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    delay = float(os.environ.get("BENCH_RETRY_DELAY", "120"))
+    rc = 1
+    for k in range(attempts):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "BENCH_INNER": "1"},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        lines: list[str] = []
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            lines.append(line)
+        rc = proc.wait()
+        if rc == 0:
+            return 0
+        tail = "".join(lines[-200:])
+        if k == attempts - 1 or not any(p in tail for p in _TRANSIENT):
+            return rc
+        print(f"# bench attempt {k + 1}/{attempts} hit a transient backend "
+              f"error; retrying in {delay:.0f}s", flush=True)
+        time.sleep(delay)
+    return rc
 
 
 def main():
@@ -50,10 +95,8 @@ def main():
     capacity = int(os.environ.get("BENCH_CAPACITY", 2 * 1024 * 1024))
     max_per_tile = int(os.environ.get("BENCH_MAX_PER_TILE", 1024))
 
-    from ex4dgs_tpu.rendering import render as _render
-
-    probe = _render(cam, model, cfg, t=jnp.asarray(1.0), bg=jnp.zeros(3),
-                    capacity=capacity, max_per_tile=max_per_tile)
+    probe = render(cam, model, cfg, t=jnp.asarray(1.0), bg=jnp.zeros(3),
+                   capacity=capacity, max_per_tile=max_per_tile)
     total = int(probe.binning_total)
     assert total <= capacity, (
         f"bench scene overflows binning capacity ({total} > {capacity}); "
@@ -88,15 +131,62 @@ def main():
         g = step(model.params, jnp.asarray(float(i % 5)))
     jax.block_until_ready(g)
     dt = time.perf_counter() - t0
-
     mpix_s = W * H * ITERS / dt / 1e6
+
+    # --- full train step (render+loss+bwd+RAdam+stat accumulators) ---------
+    train_mpix_s = None
+    if os.environ.get("BENCH_TRAIN_STEP", "1") == "1":
+        from ex4dgs_tpu.models.config import OptimizationConfig
+        from ex4dgs_tpu.models.optimizer import init_state
+        from ex4dgs_tpu.train.step import StepStatics, train_step
+
+        statics = StepStatics(
+            cfg=cfg, opt=OptimizationConfig(), spatial_lr_scale=3.0,
+            capacity=capacity, chunk=256, max_per_tile=max_per_tile,
+        )
+        opt_state = init_state(model.params)
+        bg = jnp.zeros(3)
+
+        def tick(i):
+            return train_step(model, opt_state, cam, gt,
+                              jnp.asarray(float(i % 5)), bg,
+                              jnp.asarray(100, jnp.int32), statics)
+
+        out = tick(0)
+        jax.block_until_ready(out.loss)
+        out = tick(1)
+        jax.block_until_ready(out.loss)
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            out = tick(i)
+        jax.block_until_ready(out.loss)
+        dt = time.perf_counter() - t0
+        train_mpix_s = W * H * ITERS / dt / 1e6
+
+    from ex4dgs_tpu.ops import projection as _proj
+    from ex4dgs_tpu.ops import rasterize_pallas as _rp
+
     print(json.dumps({
         "metric": "rasterizer_fwd_bwd_throughput",
         "value": round(mpix_s, 3),
         "unit": "Mpixels/s/chip",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
+        "train_step_mpix_s": (
+            round(train_mpix_s, 3) if train_mpix_s is not None else None
+        ),
+        "instances": total,
+        "capacity": capacity,
+        "resolution": [W, H],
+        "kernel_config": {
+            "tile": f"{_proj.TILE_X}x{_proj.TILE_Y}", "pair": _rp.PAIR,
+            "g_chunk": _rp.G_CHUNK, "win_align": _rp.WIN_ALIGN,
+            "bufs": _rp.BUFS,
+        },
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER") == "1":
+        main()
+    else:
+        sys.exit(_run_with_retry())

@@ -170,6 +170,18 @@ def preprocess_points(
     return proj, colors
 
 
+def _auto_backend(capacity: int) -> str:
+    """Backend auto-selection, consistent with the Pallas kernel's own
+    precondition (rasterize_pallas.py asserts capacity % G_CHUNK == 0):
+    a capacity the kernel can't take falls back to the jnp oracle instead
+    of crashing inside the kernel wrapper."""
+    if jax.devices()[0].platform != "tpu":
+        return "jnp"
+    from .ops.rasterize_pallas import G_CHUNK
+
+    return "pallas" if capacity % G_CHUNK == 0 else "jnp"
+
+
 def composite_projected(
     proj: Projected,
     colors: jnp.ndarray,
@@ -193,8 +205,7 @@ def composite_projected(
     grid_x, grid_y = tile_grid(cam.width, cam.height)
     binning = binning_ops.bin_gaussians(proj, grid_x, grid_y, capacity)
     if backend is None:
-        on_tpu = jax.devices()[0].platform == "tpu"
-        backend = "pallas" if (on_tpu and capacity % 128 == 0) else "jnp"
+        backend = _auto_backend(capacity)
     if backend == "pallas":
         from .ops.rasterize_pallas import rasterize_tiled_pallas
 
@@ -260,16 +271,20 @@ def composite_projected_sharded(
     t_pad = -(-num_tiles // axis_size) * axis_size
     local = t_pad // axis_size
     pad = t_pad - num_tiles
-    total = binning.total
+    # Clamp the pad fill to capacity: on binning overflow (total > capacity,
+    # exactly when the trainer's gate will discard this step) an unclamped
+    # fill would place padded tiles' aligned DMA window bases past the end of
+    # the [16, capacity] data buffer — an out-of-bounds HBM read. capacity is
+    # a G_CHUNK multiple, so clamped padding tiles issue no DMAs at all.
+    total_c = jnp.minimum(binning.total, capacity)
     starts_p = jnp.concatenate(
-        [binning.tile_start, jnp.full((pad,), total, jnp.int32)])
+        [binning.tile_start, jnp.full((pad,), 0, jnp.int32) + total_c])
     stops_p = jnp.concatenate(
-        [binning.tile_stop, jnp.full((pad,), total, jnp.int32)])
+        [binning.tile_stop, jnp.full((pad,), 0, jnp.int32) + total_c])
     t0 = jax.lax.axis_index(axis_name) * local
 
     if backend is None:
-        on_tpu = jax.devices()[0].platform == "tpu"
-        backend = "pallas" if (on_tpu and capacity % 128 == 0) else "jnp"
+        backend = _auto_backend(capacity)
 
     if backend == "pallas":
         from .ops.rasterize_pallas import composite_tiles, pack_sorted

@@ -259,6 +259,17 @@ class Trainer:
                     break
                 self.overflow_count += 1
                 self.capacity = round_capacity(total * 5 // 4, 65536)
+            else:
+                # Still overflowing after all retries: the gated step was a
+                # no-op, but the loss/psnr below come from a truncated render.
+                import warnings
+
+                warnings.warn(
+                    f"iteration {it}: binning overflow persisted through all "
+                    f"capacity-growth retries (last total {total}); this "
+                    "step's update was skipped and its logged metrics come "
+                    "from a truncated instance list"
+                )
 
             self.model, self.opt_state = out.model, out.opt_state
             loss = float(out.loss)
