@@ -1,0 +1,149 @@
+"""Kernel tuning knobs as validated configuration (VERDICT round-2 #5).
+
+The rasterizer kernels are shaped by five knobs that used to be import-time
+environment variables. They are now a `KernelConfig`: env vars remain
+*overrides* (read once, at first use), every combination is validated with an
+actionable error at configure time instead of failing somewhere inside
+Mosaic, and the active config is recorded in checkpoints and in bench.py's
+JSON line so every artifact is self-describing.
+
+Knobs (defaults are the measured optima, BASELINE.md round-2 ledger):
+  tile_x, tile_y  — tile shape in pixels (reference: 16x16, config.h:16-17)
+  pair            — tiles composited per Pallas grid step (pane batching)
+  g_chunk         — instances per DMA window
+  win_align       — forward read-window alignment granularity
+  bufs            — read-DMA pipeline depth
+
+Mechanics: the ops modules bind these as module globals (kernel closures read
+them at trace time), so `configure()` rebinds the globals in every loaded
+ex4dgs_tpu module — including derived values (N_PIX) and by-value re-imports —
+and clears jit caches. Reconfiguring is therefore safe at any host-code
+point; traced graphs are never mixed between configs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+_ENV = {
+    "tile": "EX4DGS_TILE", "pair": "EX4DGS_PAIR", "g_chunk": "EX4DGS_GCHUNK",
+    "win_align": "EX4DGS_ALIGN", "bufs": "EX4DGS_BUFS",
+}
+
+# Empirical scoped-VMEM budget for the backward kernel's live set, in
+# pair * n_pix * g_chunk units: PAIR=2 @16x16/G=256 fits (131072), PAIR=4
+# or PAIR=2 @32x16 exceed the 16 MB limit (BASELINE.md negative results).
+_VMEM_UNITS = 2 * 256 * 256
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelConfig:
+    tile_x: int = 16
+    tile_y: int = 16
+    pair: int = 2
+    g_chunk: int = 256
+    win_align: int = 128
+    bufs: int = 2
+
+    @property
+    def n_pix(self) -> int:
+        return self.tile_x * self.tile_y
+
+    def validate(self) -> "KernelConfig":
+        def fail(msg: str):
+            raise ValueError(f"invalid KernelConfig {self}: {msg}")
+
+        if self.tile_x % 8 or self.tile_y % 8 or self.tile_x < 8 or self.tile_y < 8:
+            fail("tile_x and tile_y must be multiples of 8 (sublane tiling)")
+        if self.n_pix % 128 or not 128 <= self.n_pix <= 1024:
+            fail("tile area (tile_x*tile_y) must be a multiple of 128 in "
+                 "[128, 1024] — the pixel axis feeds 128-lane MXU matmuls")
+        if self.pair < 1:
+            fail("pair must be >= 1")
+        if self.g_chunk % 128 or self.g_chunk < 128:
+            fail("g_chunk must be a positive multiple of 128 (lane tiling)")
+        if self.win_align not in (128, 256) or self.win_align > self.g_chunk:
+            fail("win_align must be 128 or 256 and <= g_chunk (Mosaic "
+                 "requires DMA lane offsets provably 128-divisible)")
+        if self.bufs < 2:
+            fail("bufs must be >= 2 (the DMA pipeline needs one in-flight "
+                 "buffer besides the one being blended)")
+        if self.pair * self.n_pix * self.g_chunk > _VMEM_UNITS:
+            fail(
+                "backward-kernel live set exceeds the 16 MB scoped-VMEM "
+                f"budget (pair*n_pix*g_chunk = {self.pair * self.n_pix * self.g_chunk} "
+                f"> {_VMEM_UNITS}); e.g. 512+ px tiles need pair=1 "
+                "(BASELINE.md: PAIR=4 and PAIR=2@32x16 both exceeded it)"
+            )
+        return self
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.as_dict(), sort_keys=True)
+
+    @staticmethod
+    def from_dict(d: dict) -> "KernelConfig":
+        return KernelConfig(**{k: int(v) for k, v in d.items()}).validate()
+
+    @staticmethod
+    def from_env() -> "KernelConfig":
+        tx, ty = (int(v) for v in
+                  os.environ.get(_ENV["tile"], "16x16").lower().split("x"))
+        return KernelConfig(
+            tile_x=tx, tile_y=ty,
+            pair=int(os.environ.get(_ENV["pair"], "2")),
+            g_chunk=int(os.environ.get(_ENV["g_chunk"], "256")),
+            win_align=int(os.environ.get(_ENV["win_align"], "128")),
+            bufs=int(os.environ.get(_ENV["bufs"], "2")),
+        ).validate()
+
+
+_active: KernelConfig | None = None
+
+# Module-global names derived from the config, per knob. configure() rebinds
+# every one of these that exists in any loaded ex4dgs_tpu module, so by-value
+# `from .projection import TILE_X` re-imports can't go stale.
+def _exports(cfg: KernelConfig) -> dict:
+    return {
+        "TILE_X": cfg.tile_x, "TILE_Y": cfg.tile_y, "N_PIX": cfg.n_pix,
+        "PAIR": cfg.pair, "G_CHUNK": cfg.g_chunk, "WIN_ALIGN": cfg.win_align,
+        "BUFS": cfg.bufs,
+    }
+
+
+def current() -> KernelConfig:
+    """The active config (resolved from env overrides on first use)."""
+    global _active
+    if _active is None:
+        _active = KernelConfig.from_env()
+    return _active
+
+
+def configure(cfg: KernelConfig) -> KernelConfig:
+    """Install `cfg` as the active kernel configuration.
+
+    Validates, rebinds the knob globals in every loaded ex4dgs_tpu module,
+    and clears jit caches (previously traced graphs baked the old values)."""
+    global _active
+    cfg.validate()
+    if cfg == current():
+        return cfg
+    _active = cfg
+    exports = _exports(cfg)
+    touched = False
+    for name, mod in list(sys.modules.items()):
+        if not name.startswith("ex4dgs_tpu") or mod is None:
+            continue
+        for attr, val in exports.items():
+            if hasattr(mod, attr):
+                setattr(mod, attr, val)
+                touched = True
+    if touched:
+        import jax
+
+        jax.clear_caches()
+    return cfg

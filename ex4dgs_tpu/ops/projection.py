@@ -14,19 +14,16 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-import os
-
 from .math3d import cov3d_from_scaling_rotation, ewa_project_cov, ndc2pix
+from ..kernel_config import current as _kernel_config
 
 # Tile shape in pixels. The reference uses 16x16 (config.h:16-17) and that
 # stays the default; on TPU wider tiles amortize per-tile costs and cut the
 # instance count (fewer tiles touched per splat) at the price of more blend
-# pairs — override for experiments via EX4DGS_TILE="32x16" etc. (with 512+
-# pixels per tile also set EX4DGS_PAIR=1: the backward kernel's live set at
-# PAIR=2 exceeds the 16 MB scoped-VMEM limit).
-_tile_env = os.environ.get("EX4DGS_TILE", "16x16")
-TILE_X, TILE_Y = (int(v) for v in _tile_env.lower().split("x"))
-assert TILE_X * TILE_Y <= 1024 and TILE_X % 8 == 0 and TILE_Y % 8 == 0
+# pairs. Configured via kernel_config (EX4DGS_TILE env override or
+# kernel_config.configure(); mutual constraints — e.g. 512+ px tiles need
+# pair=1 — are validated there).
+TILE_X, TILE_Y = _kernel_config().tile_x, _kernel_config().tile_y
 
 
 class CameraArrays(NamedTuple):

@@ -27,7 +27,6 @@ stop-gradient weights, acc fully stop-gradiented.
 from __future__ import annotations
 
 import functools
-import os
 from typing import NamedTuple
 
 import jax
@@ -38,10 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 from . import compositing as comp
 from .binning import Binning
 from .projection import TILE_X, TILE_Y, Projected
+from ..kernel_config import current as _kernel_config
 
 # Instances per DMA window; larger = shorter serial chain, smaller = less
-# per-tile ceil waste. Override for experiments via EX4DGS_GCHUNK.
-G_CHUNK = int(os.environ.get("EX4DGS_GCHUNK", "256"))
+# per-tile ceil waste. Configured via kernel_config (EX4DGS_GCHUNK override).
+G_CHUNK = _kernel_config().g_chunk
 N_PIX = TILE_X * TILE_Y  # 256 at the default 16x16
 DATA_ROWS = 16  # packed per-instance rows (one sublane tile)
 # rows: 0 xy_x, 1 xy_y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
@@ -134,9 +134,10 @@ def pack_sorted(proj: Projected, colors, flow, binning: Binning):
 
 # Tiles composited per grid step (batched pane axis). More panes per step
 # amortize loop/DMA fixed costs and hide latency at the cost of VMEM and
-# wasted work when pane chunk counts diverge; override for experiments via
-# EX4DGS_PAIR (read once at import).
-PAIR = int(os.environ.get("EX4DGS_PAIR", "2"))
+# wasted work when pane chunk counts diverge; configured via kernel_config
+# (EX4DGS_PAIR override; the pair x tile-area VMEM constraint is validated
+# there).
+PAIR = _kernel_config().pair
 
 # FORWARD window-origin alignment granularity. Each tile's read-DMA chain
 # starts at the WIN_ALIGN-aligned slot below its range start, wasting avg
@@ -150,13 +151,12 @@ PAIR = int(os.environ.get("EX4DGS_PAIR", "2"))
 # windows must all live on ONE shared G_CHUNK grid (finer per-tile alignment
 # lets a tile's trailing window overlap its successor's windows by a
 # sub-chunk phase and race the plain writes — see _backward_kernel).
-WIN_ALIGN = int(os.environ.get("EX4DGS_ALIGN", "128"))
-assert WIN_ALIGN in (128, 256), WIN_ALIGN
+WIN_ALIGN = _kernel_config().win_align
 
 # Read-DMA pipeline depth: chunk j+BUFS-1 is prefetched while chunk j blends,
 # i.e. each fetch gets BUFS-1 loop bodies of lead time to cover its latency.
 # Grad-write buffers stay double-buffered (their drain is latency-tolerant).
-BUFS = int(os.environ.get("EX4DGS_BUFS", "2"))
+BUFS = _kernel_config().bufs
 
 
 def _win(off):

@@ -30,6 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..kernel_config import KernelConfig
 from ..models.config import ModelConfig, OptimizationConfig
 from ..models.optimizer import RAdamState, group_lrs, mask_grads, radam_update, scrub_nan
 from ..models.state import GaussianModel
@@ -49,6 +50,10 @@ class StepStatics:
     max_per_tile: int | None = None  # per-tile compositing depth bound
     mode: int = 0
     backend: str | None = None  # "pallas" | "jnp" | None = auto
+    # Active kernel tuning knobs. Informational for hashing/recompiles: the
+    # kernels read the globals kernel_config.configure() installs, so the
+    # caller (Trainer) configures before building statics.
+    kernel: KernelConfig | None = None
 
 
 class StepOutputs(NamedTuple):
