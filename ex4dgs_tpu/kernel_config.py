@@ -30,6 +30,7 @@ import sys
 _ENV = {
     "tile": "EX4DGS_TILE", "pair": "EX4DGS_PAIR", "g_chunk": "EX4DGS_GCHUNK",
     "win_align": "EX4DGS_ALIGN", "bufs": "EX4DGS_BUFS",
+    "exact_sort": "EX4DGS_EXACT_SORT",
 }
 
 # Empirical scoped-VMEM budget for the backward kernel's live set, in
@@ -46,6 +47,13 @@ class KernelConfig:
     g_chunk: int = 256
     win_align: int = 128
     bufs: int = 2
+    # Binning depth-sort numerics: False = packed 31-bit (tile | truncated
+    # depth bits) single-key sort (~2^-10 relative within-tile depth
+    # quantization, ties blend in Gaussian-index order — measurably faster,
+    # the production default); True = the reference's exact semantics, a
+    # 2-key (tile, float-depth) sort (rasterizer_impl.cu:110-114's 64-bit
+    # key). See ops/binning.py.
+    exact_sort: bool = False
 
     @property
     def n_pix(self) -> int:
@@ -87,7 +95,9 @@ class KernelConfig:
 
     @staticmethod
     def from_dict(d: dict) -> "KernelConfig":
-        return KernelConfig(**{k: int(v) for k, v in d.items()}).validate()
+        return KernelConfig(**{
+            k: bool(v) if k == "exact_sort" else int(v) for k, v in d.items()
+        }).validate()
 
     @staticmethod
     def from_env() -> "KernelConfig":
@@ -99,6 +109,7 @@ class KernelConfig:
             g_chunk=int(os.environ.get(_ENV["g_chunk"], "256")),
             win_align=int(os.environ.get(_ENV["win_align"], "128")),
             bufs=int(os.environ.get(_ENV["bufs"], "2")),
+            exact_sort=os.environ.get(_ENV["exact_sort"], "0") == "1",
         ).validate()
 
 

@@ -78,7 +78,7 @@ def _gather_rows_t_bwd(res, ct):
     if PACK_VJP == "scatter":
         d_cols = jnp.zeros((P, ct.shape[0]), ct.dtype).at[order].add(ct.T)
         return d_cols, None, None, None
-    from .scan_ops import matmul_block_cumsum
+    from .scan_ops import matmul_block_cumsum, matmul_block_cumsum_parts
 
     slot = jax.lax.iota(jnp.int32, capacity)
     # Stable 1-key sort by Gaussian id recovers the expansion order: tail
@@ -87,14 +87,46 @@ def _gather_rows_t_bwd(res, ct):
     # regardless.
     _g_s, slot_s = jax.lax.sort((order, slot), num_keys=1, is_stable=True)
     rows = jnp.take(ct.T, slot_s, axis=0)  # [capacity, 16], grouped by Gaussian
-    pref = matmul_block_cumsum(rows)
     hi = jnp.clip(cum - 1, 0, capacity - 1)
     lo = jnp.clip(cum - counts - 1, 0, capacity - 1)
-    hi_v = jnp.where((cum > 0)[:, None], jnp.take(pref, hi, axis=0), 0.0)
-    lo_v = jnp.where(
-        (cum - counts > 0)[:, None], jnp.take(pref, lo, axis=0), 0.0
-    )
-    d_cols = jnp.where((counts > 0)[:, None], hi_v - lo_v, 0.0)
+    parts = matmul_block_cumsum_parts(rows)
+    if parts is None:
+        pref = matmul_block_cumsum(rows)
+        hi_v = jnp.where((cum > 0)[:, None], jnp.take(pref, hi, axis=0), 0.0)
+        lo_v = jnp.where(
+            (cum - counts > 0)[:, None], jnp.take(pref, lo, axis=0), 0.0
+        )
+        d_cols = jnp.where((counts > 0)[:, None], hi_v - lo_v, 0.0)
+        return d_cols, None, None, None
+    # Two-level prefix difference: keep the in-block local prefix and the
+    # cross-block carry separate — differencing a single global f32 prefix
+    # loses digits for Gaussians late in a multi-million-row buffer
+    # (mixed-sign cotangents, large accumulated values). Windows inside ONE
+    # block cancel the carry exactly; windows spanning exactly two blocks
+    # (the common cross case — window length <= the Gaussian's tile count)
+    # use the lower block's EXACT total instead of a carry difference. Only
+    # windows spanning >2 blocks fall back to differencing accumulated
+    # carries (huge splats; their segment sums are large, so the relative
+    # error stays small).
+    local, carry_ex = parts  # local[n,16], carry_ex[b,16]
+    nblocks = carry_ex.shape[0]
+    block = capacity // nblocks
+    sums = local.reshape(nblocks, block, 16)[:, -1, :]  # exact block totals
+    hi_ok = (cum > 0)[:, None]
+    lo_ok = (cum - counts > 0)[:, None]
+    hi_l = jnp.where(hi_ok, jnp.take(local, hi, axis=0), 0.0)
+    lo_l = jnp.where(lo_ok, jnp.take(local, lo, axis=0), 0.0)
+    hi_b = hi // block
+    lo_b = lo // block
+    hi_c = jnp.where(hi_ok, jnp.take(carry_ex, hi_b, axis=0), 0.0)
+    lo_c = jnp.where(lo_ok, jnp.take(carry_ex, lo_b, axis=0), 0.0)
+    span = jnp.where(hi_ok[:, 0] & lo_ok[:, 0], hi_b - lo_b,
+                     jnp.where(hi_ok[:, 0], hi_b + 1, 0))
+    lo_sum = jnp.take(sums, lo_b, axis=0)
+    carry_d = jnp.where(
+        (span == 0)[:, None], 0.0,
+        jnp.where((span == 1)[:, None] & lo_ok, lo_sum, hi_c - lo_c))
+    d_cols = jnp.where((counts > 0)[:, None], (hi_l - lo_l) + carry_d, 0.0)
     return d_cols, None, None, None
 
 

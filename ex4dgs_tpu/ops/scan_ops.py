@@ -39,18 +39,24 @@ def blocked_cumsum_2d(x: jnp.ndarray, cols: int = 1024) -> jnp.ndarray:
     return out.transpose(1, 0, 2).reshape(n, k)
 
 
-def matmul_block_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
-    """Inclusive cumsum along axis 0 of [n, k] via per-block lower-triangular
-    MXU matmuls + a small cross-block carry.
+def matmul_block_cumsum_parts(x: jnp.ndarray, block: int = 256):
+    """Two-level inclusive cumsum pieces along axis 0 of [n, k]: per-block
+    lower-triangular MXU matmul prefixes in the NATURAL layout (element i at
+    [i // block, i % block, :] of a free reshape — no physical transposes)
+    plus the small cross-block carry.
 
-    Unlike `blocked_cumsum_2d` this keeps the NATURAL layout — element i lives
-    at [i // block, i % block, :] of the (free) reshape to [b, block, k] — so
-    there are no physical transposes; the O(n·block) matmul FLOPs are noise on
-    the MXU. Built for the pack-gather VJP's segment reduction where k = 16
-    packed feature rows and n is the multi-million instance capacity."""
+    Returns (local, carry_ex): `local[i]` = inclusive prefix of x within
+    element i's own block (magnitude bounded by one block's content), and
+    `carry_ex[b]` = exclusive prefix of block totals, so the full inclusive
+    prefix is `local[i] + carry_ex[i // block]`. Callers that difference
+    prefixes over short windows (the pack-gather segment VJP) should
+    difference the two parts separately — same-block windows then cancel the
+    carry EXACTLY instead of subtracting two large accumulated floats.
+
+    Returns None if n is not a block multiple (callers fall back)."""
     n, k = x.shape
     if n % block != 0 or n < block * 2:
-        return jnp.cumsum(x, axis=0)
+        return None
     b = n // block
     x3 = x.reshape(b, block, k)
     i = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
@@ -60,8 +66,21 @@ def matmul_block_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
         "ij,bjk->bik", lower, x3, preferred_element_type=x.dtype
     )
     sums = cs[:, -1, :]  # [b, k] per-block totals
-    carry = jnp.cumsum(sums, axis=0) - sums  # exclusive prefix, tiny scan
-    return (cs + carry[:, None, :]).reshape(n, k)
+    carry_ex = jnp.cumsum(sums, axis=0) - sums  # exclusive prefix, tiny scan
+    return cs.reshape(n, k), carry_ex
+
+
+def matmul_block_cumsum(x: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+    """Inclusive cumsum along axis 0 of [n, k] via per-block lower-triangular
+    MXU matmuls + a small cross-block carry (see matmul_block_cumsum_parts).
+    The O(n·block) matmul FLOPs are noise on the MXU."""
+    parts = matmul_block_cumsum_parts(x, block)
+    if parts is None:
+        return jnp.cumsum(x, axis=0)
+    local, carry_ex = parts
+    n, k = x.shape
+    b = n // block
+    return (local.reshape(b, block, k) + carry_ex[:, None, :]).reshape(n, k)
 
 
 def blocked_cumsum(x: jnp.ndarray, cols: int = 1024) -> jnp.ndarray:

@@ -17,6 +17,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .kernel_config import current as _kernel_config
 from .models.config import ModelConfig
 from .models.state import GaussianModel
 from .models.temporal import PointData, point_data_at_t
@@ -203,7 +204,9 @@ def composite_projected(
     backend: "pallas" (TPU kernels), "jnp" (portable oracle), or None = auto
     (pallas on TPU when no subpixel offset is requested)."""
     grid_x, grid_y = tile_grid(cam.width, cam.height)
-    binning = binning_ops.bin_gaussians(proj, grid_x, grid_y, capacity)
+    binning = binning_ops.bin_gaussians(
+        proj, grid_x, grid_y, capacity,
+        exact_depth_sort=_kernel_config().exact_sort)
     if backend is None:
         backend = _auto_backend(capacity)
     if backend == "pallas":
@@ -267,7 +270,9 @@ def composite_projected_sharded(
     (they are a small fraction of the stage)."""
     grid_x, grid_y = tile_grid(cam.width, cam.height)
     num_tiles = grid_x * grid_y
-    binning = binning_ops.bin_gaussians(proj, grid_x, grid_y, capacity)
+    binning = binning_ops.bin_gaussians(
+        proj, grid_x, grid_y, capacity,
+        exact_depth_sort=_kernel_config().exact_sort)
     t_pad = -(-num_tiles // axis_size) * axis_size
     local = t_pad // axis_size
     pad = t_pad - num_tiles

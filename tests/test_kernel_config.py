@@ -16,7 +16,7 @@ def test_default_is_valid_and_self_describing():
     assert cfg.n_pix == 256
     d = cfg.as_dict()
     assert set(d) == {"tile_x", "tile_y", "pair", "g_chunk", "win_align",
-                      "bufs"}
+                      "bufs", "exact_sort"}
     assert KernelConfig.from_dict(d) == cfg
 
 

@@ -185,6 +185,43 @@ def test_pack_gather_segment_vjp_matches_scatter():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)
 
 
+def test_pack_gather_segment_vjp_precision_at_production_capacity():
+    """Precision probe at a production-scale buffer (ADVICE r2): the segment
+    VJP differences f32 prefixes over a multi-million-row buffer; Gaussians
+    late in the buffer used to subtract two large accumulated values (global
+    inclusive prefix). The two-level local+carry split must keep the error
+    near the scatter path's, measured against a float64 oracle."""
+    rng = np.random.default_rng(7)
+    cap = 2 * 1024 * 1024
+    P = cap // 9
+    counts = rng.integers(0, 17, P).astype(np.int32)
+    cum = np.cumsum(counts, dtype=np.int64)
+    total = int(cum[-1])
+    assert total <= cap
+    cum = cum.astype(np.int32)
+    order = np.full(cap, P - 1, np.int32)
+    order[:total] = np.repeat(np.arange(P, dtype=np.int32), counts)
+    cols = rng.normal(size=(P, 16)).astype(np.float32)
+    ct = rng.normal(size=(16, cap)).astype(np.float32)
+    ct[:, total:] = 0.0
+
+    def f(c):
+        return (rp._gather_rows_t(c, jnp.asarray(order), jnp.asarray(cum),
+                                  jnp.asarray(counts)) * ct).sum()
+
+    g_seg = np.asarray(jax.grad(f)(jnp.asarray(cols)))
+
+    # float64 oracle: f64 prefix differences are exact to ~1e-13 at this scale
+    pref64 = np.concatenate([
+        np.zeros((1, 16)), np.cumsum(ct.T.astype(np.float64), axis=0)
+    ])
+    ref = pref64[cum.astype(np.int64)] - pref64[(cum - counts).astype(np.int64)]
+    err = np.abs(g_seg - ref).max()
+    # measured: 1.6e-5 (two-level exact-adjacent-block carry); the old global
+    # prefix difference gave 1.0e-3, scatter-add gives 3e-6.
+    assert err < 5e-5, f"segment VJP error vs f64 oracle too large: {err}"
+
+
 def test_pallas_backward_long_lists_window_phases():
     """Adversarial geometry: every tile's instance list spans MANY DMA
     windows with arbitrary start phases. Guards the gradient-window

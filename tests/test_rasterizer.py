@@ -87,6 +87,78 @@ def test_binning_matches_bruteforce(setup):
         assert got == members, f"tile {t}: {got} != {members}"
 
 
+def test_exact_depth_sort_reference_semantics(setup):
+    """ADVICE r2: the exact 2-key (tile, float-depth) sort — the reference's
+    64-bit key semantics (rasterizer_impl.cu:110-114) — must order depths
+    that tie under the packed 31-bit key's ~2^-10 quantization, and must be
+    reachable from the public API via KernelConfig(exact_sort=True)."""
+    _, _, _, proj, _, _, _ = setup
+    gx, gy = tile_grid(W, H)
+    # Depths spaced exactly 1 ULP apart (consecutive float32 bit patterns),
+    # in REVERSE index order: the packed key truncates the low mantissa bits,
+    # so within each truncation bucket its stable index-order tiebreak gives
+    # ASCENDING index = DESCENDING true depth — provably different from the
+    # exact order.
+    P = proj.depth.shape[0]
+    base_bits = np.float32(10.0).view(np.int32)
+    k_rev = np.arange(P - 1, -1, -1, dtype=np.int32)
+    proj = proj._replace(
+        depth=jnp.asarray((base_bits + k_rev).view(np.float32)))
+    total = int(np.asarray(proj.tiles_touched).sum())
+    b = bin_gaussians(proj, gx, gy, capacity=total, exact_depth_sort=True)
+
+    depth = np.asarray(proj.depth)
+    valid = np.asarray(proj.valid)
+    rect_min = np.asarray(proj.rect_min)
+    rect_max = np.asarray(proj.rect_max)
+    order = np.asarray(b.order)
+    start = np.asarray(b.tile_start)
+    stop = np.asarray(b.tile_stop)
+    packed_differs = False
+    b_packed = bin_gaussians(proj, gx, gy, capacity=total,
+                             exact_depth_sort=False)
+    order_p = np.asarray(b_packed.order)
+    for t in range(gx * gy):
+        ty, tx = divmod(t, gx)
+        members = [
+            g for g in range(P)
+            if valid[g]
+            and rect_min[g, 0] <= tx < rect_max[g, 0]
+            and rect_min[g, 1] <= ty < rect_max[g, 1]
+        ]
+        members.sort(key=lambda g: (depth[g], g))
+        got = list(order[start[t]:stop[t]])
+        assert got == members, f"tile {t}: exact sort broke depth order"
+        if list(order_p[start[t]:stop[t]]) != members:
+            packed_differs = True
+    # sanity: the scenario actually exercises the quantization (otherwise
+    # this test would pass vacuously)
+    assert packed_differs, "depths were not sub-quantum; test is vacuous"
+
+
+def test_exact_sort_reachable_from_public_api(setup):
+    """KernelConfig(exact_sort=True) flows through render's binning."""
+    from ex4dgs_tpu.kernel_config import KernelConfig, configure, current
+    from ex4dgs_tpu.rendering import composite_projected, RenderCamera
+
+    cam_arrays, camdims, _, proj, colors, flow, bg = setup
+    rcam = RenderCamera(cam_arrays.view, cam_arrays.proj, cam_arrays.campos,
+                        W, H, camdims["tan_fovx"], camdims["tan_fovy"])
+    base = current()
+    try:
+        configure(KernelConfig(exact_sort=True))
+        out_e = composite_projected(proj, colors, flow, rcam, bg=bg, far=FAR,
+                                    capacity=4096, backend="jnp")
+        configure(KernelConfig(exact_sort=False))
+        out_q = composite_projected(proj, colors, flow, rcam, bg=bg, far=FAR,
+                                    capacity=4096, backend="jnp")
+    finally:
+        configure(base)
+    # same scene, orderings differ only on sub-quantum ties: images agree
+    np.testing.assert_allclose(np.asarray(out_e.render),
+                               np.asarray(out_q.render), atol=1e-4)
+
+
 def test_dense_tiled_agree(setup):
     _, _, _, proj, colors, flow, bg = setup
     gx, gy = tile_grid(W, H)
