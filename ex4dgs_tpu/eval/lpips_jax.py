@@ -108,7 +108,12 @@ def _unit_normalize(f, eps=1e-10):
 def lpips_fn(img_a, img_b, layers, weights) -> jnp.ndarray:
     """LPIPS distance. img_*: [H, W, 3] float in [0, 1]."""
     def prep(im):
-        im = im.transpose(2, 0, 1)[None] * 2.0 - 1.0  # [-1, 1], NCHW
+        # NCHW, values staying in [0, 1]: the reference feeds render.py's
+        # clamped [0,1] tensors straight into BaseNet.z_score
+        # (render.py:80-81, networks.py:50-53) — the vendored lpipsPyTorch
+        # never rescales to the upstream convention's [-1, 1]. Parity means
+        # mirroring that.
+        im = im.transpose(2, 0, 1)[None]
         return (im - _SHIFT.reshape(1, 3, 1, 1)) / _SCALE.reshape(1, 3, 1, 1)
 
     fa = _features(prep(img_a), layers, weights)

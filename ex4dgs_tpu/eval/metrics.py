@@ -111,7 +111,11 @@ class LPIPS:
             return m(pred, gt)
         import torch
 
-        a = torch.from_numpy(np.ascontiguousarray(pred)).permute(2, 0, 1)[None] * 2 - 1
-        b = torch.from_numpy(np.ascontiguousarray(gt)).permute(2, 0, 1)[None] * 2 - 1
+        # [0,1] fed straight in, mirroring the reference: render.py:80-81
+        # passes clamped [0,1] tensors to its vendored lpipsPyTorch without
+        # the upstream [-1,1] rescale, so reference-comparable numbers
+        # require the same (mis)use here.
+        a = torch.from_numpy(np.ascontiguousarray(pred)).permute(2, 0, 1)[None]
+        b = torch.from_numpy(np.ascontiguousarray(gt)).permute(2, 0, 1)[None]
         with torch.no_grad():
             return float(m(a.float(), b.float()).item())

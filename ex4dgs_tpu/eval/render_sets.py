@@ -94,16 +94,21 @@ def render_set(
     if measure_fps:
         cam = cams[0].render_camera()
         t = jnp.asarray(cams[0].timestamp, jnp.float32)
-        for _ in range(fps_warmup):  # warmup (render.py:92)
-            out = render_one(model, cam, t)
-        jax.block_until_ready(out)
+        # The reference recipe (render.py:91-96): 20 rounds x 500 renders,
+        # timing each call individually and keeping only calls past the
+        # per-round 100-iteration warmup. Its render() synchronizes per call
+        # (gaussian_renderer/__init__.py:111), so the per-call timing blocks
+        # here too.
         times = []
-        for _ in range(fps_rounds):  # 20 x 500 re-renders (render.py:91-96)
-            t0 = time.perf_counter()
-            for _ in range(fps_inner):
+        for _ in range(fps_rounds):
+            for idx in range(fps_inner):
+                t0 = time.perf_counter()
                 out = render_one(model, cam, t)
-            jax.block_until_ready(out)
-            times.append((time.perf_counter() - t0) / fps_inner)
+                jax.block_until_ready(out)
+                if idx > fps_warmup:
+                    times.append(time.perf_counter() - t0)
+        # "times" is the reference's mean_metrics.json key (render.py:105)
+        result["times"] = float(np.mean(times))
         result["render_time_s"] = float(np.mean(times))
         result["fps"] = float(1.0 / np.mean(times))
         result["mpixels_per_s"] = float(cams[0].width * cams[0].height

@@ -34,13 +34,14 @@ class NetworkViewer:
         self.conn = None
 
     def init(self, retries: int = 10) -> int:
-        """Bind with a port-retry loop (train.py:413-418)."""
+        """Bind with a port-retry loop (train.py:413-418). port=0 asks the
+        OS for an ephemeral port (tests); the bound port is returned."""
         for i in range(retries):
             try:
-                self.listener.bind((self.host, self.port + i))
+                self.listener.bind((self.host, self.port + i if self.port else 0))
                 self.listener.listen()
                 self.listener.settimeout(0)
-                self.port += i
+                self.port = self.listener.getsockname()[1]
                 return self.port
             except OSError:
                 continue
@@ -53,15 +54,18 @@ class NetworkViewer:
         except Exception:
             pass
 
-    def _read_message(self) -> dict:
-        n = int.from_bytes(self.conn.recv(4), "little")
+    def _read_exact(self, n: int) -> bytes:
         buf = b""
         while len(buf) < n:
             chunk = self.conn.recv(n - len(buf))
             if not chunk:
-                break
+                raise ConnectionError("viewer peer closed")
             buf += chunk
-        return json.loads(buf.decode("utf-8"))
+        return buf
+
+    def _read_message(self) -> dict:
+        n = int.from_bytes(self._read_exact(4), "little")
+        return json.loads(self._read_exact(n).decode("utf-8"))
 
     def receive(self) -> ViewerRequest:
         msg = self._read_message()

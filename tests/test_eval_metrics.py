@@ -87,7 +87,9 @@ def _numpy_lpips(img_a, img_b, layers, weights):
         return out
 
     def feats(img):
-        x = img.transpose(2, 0, 1)[None] * 2 - 1
+        # [0,1] straight into z_score — the reference never rescales to
+        # [-1,1] (render.py:80-81 feeds clamped [0,1] tensors)
+        x = img.transpose(2, 0, 1)[None].astype(np.float32)
         x = (x - shift) / scale
         taps, ci = [], 0
         for spec in layers:
@@ -156,6 +158,74 @@ def test_lpips_jax_matches_numpy_reference(tmp_path, monkeypatch):
     # evaluator uses the real ALEX_LAYERS topology; our toy weights only fit
     # the toy topology, so just exercise weight loading here
     assert set(ev.weights) == set(weights)
+
+
+@pytest.mark.parametrize("net", ["alex", "vgg"])
+def test_lpips_jax_matches_torch_mirror(net):
+    """VERDICT r2 #6: the JAX LPIPS vs a torch-module mirror of the
+    reference's lpipsPyTorch (exact module structure, shared random weights),
+    compared at EVERY tap point and at the final distance — catches any
+    conv/stride/pad/tap/normalization mismatch vs networks.py:12-96."""
+    torch = pytest.importorskip("torch")  # noqa: F841 — in-image, cpu
+    import jax.numpy as jnp
+
+    from ex4dgs_tpu.eval import lpips_jax as L
+    from lpips_mirror import make_random_weights, torch_lpips
+
+    rng = np.random.default_rng(5)
+    weights = make_random_weights(net, rng)
+    img_a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    img_b = np.clip(
+        img_a + rng.normal(scale=0.1, size=img_a.shape), 0, 1
+    ).astype(np.float32)
+
+    want, taps_t = torch_lpips(img_a, img_b, net, weights)
+
+    layers = L.ALEX_LAYERS if net == "alex" else L.VGG_LAYERS
+    jw = {k: jnp.asarray(v) for k, v in weights.items()}
+    got = float(L.lpips_fn(jnp.asarray(img_a), jnp.asarray(img_b), layers, jw))
+
+    # per-tap comparison (normalized activations, image A)
+    def prep(im):
+        shift = np.array([-0.030, -0.088, -0.188], np.float32).reshape(1, 3, 1, 1)
+        scale = np.array([0.458, 0.448, 0.450], np.float32).reshape(1, 3, 1, 1)
+        return (im.transpose(2, 0, 1)[None] - shift) / scale
+
+    taps_j = L._features(jnp.asarray(prep(img_a)), layers, jw)
+    assert len(taps_j) == len(taps_t)
+    for i, (tj, tt) in enumerate(zip(taps_j, taps_t)):
+        tj = np.asarray(L._unit_normalize(tj))
+        assert tj.shape == tt.shape, f"tap {i}: {tj.shape} != {tt.shape}"
+        np.testing.assert_allclose(tj, tt, atol=2e-5,
+                                   err_msg=f"{net} tap {i}")
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("net", ["alex", "vgg"])
+def test_lpips_jax_matches_golden(net):
+    """Committed golden outputs (generated by tools/make_lpips_golden.py from
+    the torch mirror) — guards the pipeline even without torch."""
+    import os
+
+    import jax.numpy as jnp
+
+    from ex4dgs_tpu.eval import lpips_jax as L
+    from lpips_mirror import make_random_weights
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        f"lpips_golden_{net}.npz")
+    golden = np.load(path)
+    rng = np.random.default_rng(5)
+    weights = make_random_weights(net, rng)
+    img_a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    img_b = np.clip(
+        img_a + rng.normal(scale=0.1, size=img_a.shape), 0, 1
+    ).astype(np.float32)
+    layers = L.ALEX_LAYERS if net == "alex" else L.VGG_LAYERS
+    jw = {k: jnp.asarray(v) for k, v in weights.items()}
+    got = float(L.lpips_fn(jnp.asarray(img_a), jnp.asarray(img_b), layers, jw))
+    np.testing.assert_allclose(got, float(golden["distance"]), rtol=1e-4,
+                               atol=1e-6)
 
 
 def test_lpips_gated_returns_none(monkeypatch, tmp_path):

@@ -4,6 +4,7 @@ import json
 import math
 import socket
 import threading
+import time
 
 import numpy as np
 
@@ -47,7 +48,9 @@ def _recv_exact(sock, n):
 
 
 def test_viewer_loopback_roundtrip():
-    viewer = NetworkViewer(port=19731)
+    # port=0: OS-assigned ephemeral port — a fixed port collides with
+    # parallel test runs (the round-2 suite flake).
+    viewer = NetworkViewer(port=0)
     port = viewer.init()
 
     W, H = 32, 24
@@ -66,7 +69,8 @@ def test_viewer_loopback_roundtrip():
     client_result = {}
 
     def client():
-        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        s.settimeout(60)
         # keep-alive (0 resolution) round first
         _send_msg(s, _wire_message(view, proj, 0, 0, fov, fov, train=False))
         client_result["ka_verify"] = _recv_exact(
@@ -80,13 +84,16 @@ def test_viewer_loopback_roundtrip():
 
     th = threading.Thread(target=client)
     th.start()
-    # poll until the connection is accepted and both rounds served
-    for _ in range(200):
+    # Poll until both rounds are served, on a wall-clock deadline with a
+    # short sleep — a fixed iteration count can spin out before the client
+    # thread is even scheduled under suite load (the round-2 flake).
+    deadline = time.monotonic() + 60
+    while "verify" not in client_result and time.monotonic() < deadline:
         viewer.poll(render_fn, source_path="/data/scene", training_active=True)
-        if "verify" in client_result:
-            break
-    th.join(timeout=10)
+        time.sleep(0.002)
+    th.join(timeout=30)
     viewer.close()
+    assert not th.is_alive(), "viewer client thread did not finish"
 
     assert client_result["ka_verify"] == b"/data/scene"
     assert client_result["verify"] == b"/data/scene"
