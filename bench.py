@@ -43,8 +43,8 @@ _TRANSIENT = (
 
 
 def _run_with_retry() -> int:
-    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
-    delay = float(os.environ.get("BENCH_RETRY_DELAY", "120"))
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "4"))
+    delay = float(os.environ.get("BENCH_RETRY_DELAY", "180"))
     rc = 1
     for k in range(attempts):
         proc = subprocess.Popen(

@@ -99,13 +99,14 @@ def render_set(
         # per-round 100-iteration warmup. Its render() synchronizes per call
         # (gaussian_renderer/__init__.py:111), so the per-call timing blocks
         # here too.
+        warm = fps_warmup if fps_inner > fps_warmup else fps_inner // 2
         times = []
         for _ in range(fps_rounds):
             for idx in range(fps_inner):
                 t0 = time.perf_counter()
                 out = render_one(model, cam, t)
                 jax.block_until_ready(out)
-                if idx > fps_warmup:
+                if idx > warm:
                     times.append(time.perf_counter() - t0)
         # "times" is the reference's mean_metrics.json key (render.py:105)
         result["times"] = float(np.mean(times))

@@ -45,9 +45,43 @@ class Binning(NamedTuple):
 
 
 def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int,
-                  exact_depth_sort: bool = False) -> Binning:
-    num_tiles = grid_x * grid_y
-    counts = proj.tiles_touched.astype(jnp.int32)
+                  exact_depth_sort: bool = False,
+                  row0=None, rows: int | None = None,
+                  total_tiles: int | None = None) -> Binning:
+    """Bin Gaussians into depth-sorted per-tile instance lists.
+
+    Slab mode (row0/rows set): bins ONLY the tiles in rows [row0, row0+rows)
+    of the tile grid — the unit the tile-sharding axis distributes
+    (rendering.py::composite_projected_sharded). Each device expands, sorts
+    and range-computes a capacity-/D-sized LOCAL buffer instead of
+    replicating the full binning; tile ids in the result are slab-local
+    (tile 0 = row row0). `total_tiles` (the full grid, static) keeps the
+    packed-key depth quantization identical to the unsharded sort so
+    sharded == unsharded ordering holds bit-for-bit. row0 may be traced
+    (e.g. axis_index * rows)."""
+    slab = row0 is not None
+    if slab:
+        assert rows is not None
+        num_tiles = rows * grid_x
+        key_tiles = total_tiles if total_tiles is not None else grid_x * grid_y
+    else:
+        num_tiles = grid_x * grid_y
+        key_tiles = num_tiles
+    if slab:
+        # per-Gaussian count of touched tiles inside the slab's row window:
+        # full rect width x clipped row overlap (per-axis rects make the
+        # per-slab counts this cheap — SURVEY §2.3 / VERDICT r2 #3)
+        row0 = jnp.asarray(row0, jnp.int32)
+        y0c = jnp.maximum(proj.rect_min[:, 1], row0)
+        y1c = jnp.minimum(proj.rect_max[:, 1], row0 + rows)
+        rows_touched = jnp.maximum(y1c - y0c, 0)
+        rect_w_full = jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1)
+        counts = jnp.where(
+            proj.tiles_touched > 0,
+            rows_touched * jnp.where(rows_touched > 0, rect_w_full, 0), 0
+        ).astype(jnp.int32)
+    else:
+        counts = proj.tiles_touched.astype(jnp.int32)
     cum = blocked_cumsum(counts)  # inclusive
     total = cum[-1] if counts.shape[0] > 0 else jnp.zeros((), jnp.int32)
 
@@ -72,8 +106,13 @@ def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int,
     # int32 columns: rect (x | y<<10 | w<<20) and float-depth bits.
     assert grid_x <= 1024 and grid_y <= 1024, "rect pack assumes <=1024 tiles/axis"
     rect_w = jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1)
+    if slab:
+        # slab-local row origin: the clipped rect start relative to row0
+        rect_y = jnp.clip(y0c - row0, 0, rows)
+    else:
+        rect_y = proj.rect_min[:, 1]
     packed_rect = (
-        proj.rect_min[:, 0] | (proj.rect_min[:, 1] << 10) | (rect_w << 20)
+        proj.rect_min[:, 0] | (rect_y << 10) | (rect_w << 20)
     )
     cols = jnp.stack(
         [packed_rect, jax.lax.bitcast_convert_type(proj.depth, jnp.int32)],
@@ -106,8 +145,10 @@ def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int,
     else:
         # Packed 31-bit key: depth > 0 (near-culled) so its int32 bit pattern
         # is positive and order-preserving; keep its top DEPTH_BITS (static
-        # per grid: all bits the tile id leaves free).
-        DEPTH_BITS = 31 - num_tiles.bit_length()
+        # per grid: all bits the FULL grid's tile id leaves free — key_tiles,
+        # so slab-local sorts quantize depth identically to the unsharded
+        # sort and sharded == unsharded holds exactly).
+        DEPTH_BITS = 31 - key_tiles.bit_length()
         key = (tile << DEPTH_BITS) | (g[:, 1] >> (31 - DEPTH_BITS))
         key = jnp.where(slots < total, key, jnp.int32(2**31 - 1))
         key_s, order = jax.lax.sort(

@@ -54,7 +54,7 @@ def composite_slab(
     grid_x: int,
     t0,
     num_local: int,
-    starts: jnp.ndarray,  # [T_pad] (>= t0 + num_local), padded with total
+    starts: jnp.ndarray,  # [num_local] — the slab's LOCAL per-tile ranges
     stops: jnp.ndarray,
     bg: jnp.ndarray,
     max_depth: float,
@@ -62,11 +62,14 @@ def composite_slab(
     max_per_tile: int | None = None,
 ) -> comp.RenderOutputs:
     """Composite a slab of `num_local` tiles starting at GLOBAL tile index t0
-    (traced), returning per-tile pixel blocks [num_local, TILE_Y*TILE_X, ...].
+    (traced; only sets pixel coordinates), returning per-tile pixel blocks
+    [num_local, TILE_Y*TILE_X, ...]. starts/stops index into `binning`'s
+    instance buffer — with slab-local binning (bin_gaussians row0/rows) that
+    buffer holds only this slab's instances.
 
     This is the unit the tile-sharding axis distributes (parallel/step_dp.py):
-    each device blends only its slab's contiguous instance ranges, so
-    per-chip compositing cost drops with the axis size."""
+    each device bins and blends only its slab's contiguous instance ranges,
+    so per-chip cost drops with the axis size."""
     capacity = binning.order.shape[0]
     if max_per_tile is None:
         max_per_tile = capacity
@@ -82,8 +85,8 @@ def composite_slab(
     y = ty.reshape(-1, 1) * TILE_Y + py.reshape(1, -1)
     pixf = jnp.stack([x, y], axis=-1).astype(jnp.float32)  # [L, S, 2]
 
-    start = jax.lax.dynamic_slice_in_dim(starts, t0, num_local)
-    stop = jax.lax.dynamic_slice_in_dim(stops, t0, num_local)
+    start = starts
+    stop = stops
 
     def step_fn(carry, j):
         idx = start[:, None] + j * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]

@@ -152,8 +152,9 @@ def make_sharded_train_step(statics: StepStatics, mesh: Mesh):
         loss_mean = jax.lax.pmean(loss_display, "data")
         psnr_mean = jax.lax.pmean(psnr(res.render, gt), "data")
 
-        # Overflow gate: binning runs on the all-gathered whole, so the total
-        # is identical across gauss shards; take the max over data shards so
+        # Overflow gate: with slab-local binning the composite already
+        # reports the worst-slab effective total (identical across gauss
+        # shards after its internal pmax); take the max over data shards so
         # every device agrees on whether ANY camera overflowed its instance
         # buffer. On overflow the whole update is a no-op (see train/step.py).
         binning_total = jax.lax.pmax(

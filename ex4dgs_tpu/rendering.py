@@ -263,44 +263,42 @@ def composite_projected_sharded(
     track_idx: bool = False,
 ) -> RenderResult:
     """Tile-sharded compositing (SURVEY §2.3 SP-analog): inside shard_map,
-    each device along `axis_name` composites a contiguous slab of the tile
-    grid (per-tile instance ranges are contiguous after the sort), then the
-    per-tile pixel blocks are all-gathered to assemble the frame. Per-chip
-    compositing cost drops ~axis_size-fold; binning/pack stay replicated
-    (they are a small fraction of the stage)."""
+    each device along `axis_name` owns a contiguous slab of tile ROWS and
+    runs the whole binning -> sort -> pack -> composite chain on ONLY its
+    slab's instances (per-axis rects give per-slab counts cheaply, so each
+    device expands into a capacity/axis_size local buffer — VERDICT r2 #3:
+    binning/pack no longer replicate). The per-tile pixel blocks are then
+    all-gathered to assemble the frame.
+
+    binning_total is the WORST-SLAB effective total — axis_size * max local
+    total — so the caller's `total <= capacity` overflow gate is exactly
+    "every slab fits its local buffer", and the trainer's growth policy
+    sizes capacity to fit the fullest slab."""
     grid_x, grid_y = tile_grid(cam.width, cam.height)
     num_tiles = grid_x * grid_y
+    assert capacity % axis_size == 0, (
+        f"sharded capacity {capacity} must divide over axis_size {axis_size}")
+    cap_local = capacity // axis_size
+    rows_per = -(-grid_y // axis_size)
+    local = rows_per * grid_x
+    row0 = jax.lax.axis_index(axis_name) * rows_per
+    t0 = row0 * grid_x
     binning = binning_ops.bin_gaussians(
-        proj, grid_x, grid_y, capacity,
-        exact_depth_sort=_kernel_config().exact_sort)
-    t_pad = -(-num_tiles // axis_size) * axis_size
-    local = t_pad // axis_size
-    pad = t_pad - num_tiles
-    # Clamp the pad fill to capacity: on binning overflow (total > capacity,
-    # exactly when the trainer's gate will discard this step) an unclamped
-    # fill would place padded tiles' aligned DMA window bases past the end of
-    # the [16, capacity] data buffer — an out-of-bounds HBM read. capacity is
-    # a G_CHUNK multiple, so clamped padding tiles issue no DMAs at all.
-    total_c = jnp.minimum(binning.total, capacity)
-    starts_p = jnp.concatenate(
-        [binning.tile_start, jnp.full((pad,), 0, jnp.int32) + total_c])
-    stops_p = jnp.concatenate(
-        [binning.tile_stop, jnp.full((pad,), 0, jnp.int32) + total_c])
-    t0 = jax.lax.axis_index(axis_name) * local
+        proj, grid_x, grid_y, cap_local,
+        exact_depth_sort=_kernel_config().exact_sort,
+        row0=row0, rows=rows_per, total_tiles=num_tiles)
 
     if backend is None:
-        backend = _auto_backend(capacity)
+        backend = _auto_backend(cap_local)
 
     if backend == "pallas":
         from .ops.rasterize_pallas import composite_tiles, pack_sorted
 
         data, gid = pack_sorted(proj, colors, flow_dirs, binning)
         tids = t0 + jnp.arange(local, dtype=jnp.int32)
-        starts_l = jax.lax.dynamic_slice_in_dim(starts_p, t0, local)
-        stops_l = jax.lax.dynamic_slice_in_dim(stops_p, t0, local)
         color, accum, tfinal, bestidx = composite_tiles(
-            data, bg, gid[None, :], starts_l, stops_l, tids, None, local,
-            grid_x, False, track_idx,
+            data, bg, gid[None, :], binning.tile_start, binning.tile_stop,
+            tids, None, local, grid_x, False, track_idx,
         )
         acc = jax.lax.stop_gradient(accum[..., 7])
         has = acc > 0.0
@@ -314,13 +312,15 @@ def composite_projected_sharded(
     else:
         blocks = rasterize_tiled.composite_slab(
             proj, colors, flow_dirs, binning, grid_x=grid_x, t0=t0,
-            num_local=local, starts=starts_p, stops=stops_p, bg=bg,
+            num_local=local, starts=binning.tile_start,
+            stops=binning.tile_stop, bg=bg,
             max_depth=far, chunk=chunk, max_per_tile=max_per_tile,
         )
 
     gathered = jax.tree.map(
         lambda a: jax.lax.all_gather(a, axis_name, axis=0, tiled=True), blocks
     )
+    total_eff = axis_size * jax.lax.pmax(binning.total, axis_name)
 
     def timg(arr):
         arr = arr[:num_tiles]
@@ -340,7 +340,7 @@ def composite_projected_sharded(
         visibility_filter=proj.radius > 0,
         static_num=static_num,
         projected=proj,
-        binning_total=binning.total,
+        binning_total=total_eff,
     )
 
 

@@ -269,3 +269,54 @@ def test_pallas_backward_long_lists_window_phases():
     for a, b, name in zip(g_pal, g_ref, ("colors", "opacity")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
                                    err_msg=name)
+
+
+@pytest.mark.parametrize("tile", [(32, 16), (16, 32)])
+def test_pallas_wide_tile_shapes_match_jnp(tile):
+    """Non-default tile shapes (KernelConfig tile_x/tile_y, pair=1 — the
+    perf-roadmap configs) through forward AND backward vs the oracle. The
+    oracle and the kernels both read the configured tile globals, so this
+    also guards projection's rect math at non-square tiles."""
+    from ex4dgs_tpu.kernel_config import KernelConfig, configure, current
+
+    base = current()
+    tx, ty = tile
+    try:
+        configure(KernelConfig(tile_x=tx, tile_y=ty, pair=1))
+        proj, g, binning = _setup(n=250, seed=4)
+        bg = jnp.asarray([0.15, 0.25, 0.35])
+        ref = rt.rasterize_tiled(
+            proj, g["colors"], g["flow"], binning, width=W, height=H, bg=bg,
+            max_depth=100.0, chunk=64, max_per_tile=1024,
+        )
+        out = rp.rasterize_tiled_pallas(
+            proj, g["colors"], g["flow"], binning, width=W, height=H, bg=bg,
+            max_depth=100.0, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out.color),
+                                   np.asarray(ref.color), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
+                                   atol=3e-5)
+
+        tgt = jnp.asarray(np.random.default_rng(3).uniform(
+            size=(H, W, 3)).astype(np.float32))
+
+        def loss_with(path):
+            def f(colors, opac):
+                p = proj._replace(opacity=opac)
+                o = path(p, colors, g["flow"], binning, width=W, height=H,
+                         bg=bg, max_depth=100.0)
+                return jnp.abs(o.color - tgt).mean()
+            return f
+
+        f_ref = loss_with(lambda *a, **k: rt.rasterize_tiled(
+            *a, chunk=64, max_per_tile=1024, **k))
+        f_pal = loss_with(lambda *a, **k: rp.rasterize_tiled_pallas(
+            *a, interpret=True, **k))
+        g_ref = jax.grad(f_ref, argnums=(0, 1))(g["colors"], proj.opacity)
+        g_pal = jax.grad(f_pal, argnums=(0, 1))(g["colors"], proj.opacity)
+        for a, b, name in zip(g_pal, g_ref, ("colors", "opacity")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, err_msg=name)
+    finally:
+        configure(base)

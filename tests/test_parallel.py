@@ -147,4 +147,8 @@ def test_tile_sharded_composite_matches_full(axis_size):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.acc), np.asarray(ref.acc),
                                atol=1e-6)
-    assert int(out.binning_total) == int(ref.binning_total)
+    # Sharded binning reports the worst-slab EFFECTIVE total
+    # (axis_size * max local total): >= the true total, and the
+    # `total <= capacity` gate means "every slab fits its local buffer".
+    assert int(out.binning_total) >= int(ref.binning_total)
+    assert int(out.binning_total) <= axis_size * int(ref.binning_total)

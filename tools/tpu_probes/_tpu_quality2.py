@@ -34,7 +34,10 @@ N_CAMS, N_T = 10, 8
 ITERS = int(os.environ.get("Q2_ITERS", 3000))
 CAPACITY = 1024 * 1024
 
-cfg = ModelConfig(time_interval=2, time_pad=1, start_duration=8, duration=8,
+FULL_SCHED = os.environ.get("Q2_SOFT", "0") != "1"  # VERDICT r3: full is default
+
+cfg = ModelConfig(time_interval=2, time_pad=1,
+                  start_duration=2 if FULL_SCHED else 8, duration=8,
                   near=0.2, far=50.0, resolution=1)
 target, _ = make_scene(n_static=50_000, n_dynamic=5_000, duration=8.0, seed=7,
                        static_capacity=65_536, dynamic_capacity=8_192, cfg=cfg)
@@ -74,21 +77,39 @@ pts0 = np.asarray(target.params["xyz"][:n]) + rng.normal(
     scale=0.02, size=(n, 3)).astype(np.float32)
 cols0 = np.clip(np.asarray(sh0_to_rgb(target.params["f_dc"][:n, 0])), 0, 1)
 
-opt = OptimizationConfig(
-    iterations=ITERS,
-    position_lr_init=0.0016, position_lr_final=0.00016,
-    feature_lr=0.025, opacity_lr=0.05, scaling_lr=0.005, disp_lr=0.001,
-    # full duration from the start (growth transients churn densification
-    # into a runaway on this synthetic: measured 830k splats at ~11 dB);
-    # growth itself is covered by tests/test_e2e_4d.py and the parity run
-    densification_interval=100, densify_from_iter=100,
-    densify_until_iter=int(ITERS * 0.6),
-    densify_grad_threshold=0.0008, densify_dgrad_threshold=0.0004,
-    extract_from_iter=200, extracton_interval=250,
-    progressive_growing_steps=100000, make_dynamic_interval=50,
-    prune_invisible_interval=10_000,
-    random_background=False, static_reg=0.0,
-)
+if FULL_SCHED:
+    # Reference-shaped schedule (configs/N3V/n3v_base.json scaled to this
+    # scene's 8 timesteps / ITERS budget): DEFAULT densify thresholds
+    # (0.0002/0.0001), progressive duration growth from start_duration=2 to
+    # the full 8 (sample window +time_interval every growth step, done by
+    # ~1/3 of the run like the reference's 10->300 over 40k), reference
+    # cadence ratios for densify (300/500/0.75) and extraction (~1/10).
+    opt = OptimizationConfig(
+        iterations=ITERS,
+        position_lr_init=0.0016, position_lr_final=0.00016,
+        feature_lr=0.025, opacity_lr=0.05, scaling_lr=0.005, disp_lr=0.001,
+        densification_interval=300, densify_from_iter=500,
+        densify_until_iter=int(ITERS * 0.75),
+        extract_from_iter=500, extracton_interval=max(1, ITERS // 10),
+        progressive_growing_steps=max(1, ITERS // 10),
+        make_dynamic_interval=100,
+        prune_invisible_interval=10_000,
+        random_background=False, static_reg=0.0,
+    )
+else:
+    # round-2 softened schedule (kept for A/B against the full one)
+    opt = OptimizationConfig(
+        iterations=ITERS,
+        position_lr_init=0.0016, position_lr_final=0.00016,
+        feature_lr=0.025, opacity_lr=0.05, scaling_lr=0.005, disp_lr=0.001,
+        densification_interval=100, densify_from_iter=100,
+        densify_until_iter=int(ITERS * 0.6),
+        densify_grad_threshold=0.0008, densify_dgrad_threshold=0.0004,
+        extract_from_iter=200, extracton_interval=250,
+        progressive_growing_steps=100000, make_dynamic_interval=50,
+        prune_invisible_interval=10_000,
+        random_background=False, static_reg=0.0,
+    )
 
 info = SceneInfo(
     point_cloud=PointCloud(pts0, cols0),
