@@ -73,6 +73,9 @@ def render_set(
             "psnr": M.psnr(img, gt),
             "ssim": M.ssim(img, gt),
             "ssim_sk": M.ssim_skimage(img, gt),
+            # the reference's second skimage variant uses data_range=2
+            # (render.py:79) — kept for metric-for-metric comparability
+            "ssim_sk2": M.ssim_skimage(img, gt, data_range=2.0),
         }
         for n, fn in lpips.items():
             row[f"lpips_{n}"] = fn(img, gt)
@@ -86,10 +89,19 @@ def render_set(
                 os.path.join(out_dir, "gt", f"{i:05d}.png"))
 
     result = {"split": split, "n_frames": len(rows)}
-    for key in ("psnr", "ssim", "ssim_sk", "lpips_alex", "lpips_vgg"):
+    for key in ("psnr", "ssim", "ssim_sk", "ssim_sk2", "lpips_alex",
+                "lpips_vgg"):
         vals = [r[key] for r in rows if r.get(key) is not None]
         if vals:
             result[key] = float(np.mean(vals))
+    # The reference's mean_metrics.json key names (render.py:98-106), so a
+    # reference user's tooling reads our JSONs unchanged.
+    _REF_KEYS = {"SSIM": "ssim", "SKSSIM": "ssim_sk", "SKSSIM2": "ssim_sk2",
+                 "PSNR": "psnr", "LPIPS": "lpips_alex",
+                 "LPIPSVGG": "lpips_vgg"}
+    for ref_k, ours_k in _REF_KEYS.items():
+        if ours_k in result:
+            result[ref_k] = result[ours_k]
 
     if measure_fps:
         cam = cams[0].render_camera()
@@ -117,7 +129,18 @@ def render_set(
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
+        # all_metrics.json in the reference's per-view layout
+        # ({METRIC: {image_name: value}}, render.py:111-121); the richer
+        # per-frame row list goes to all_metrics_rows.json.
+        per_view = {}
+        for ref_k, ours_k in _REF_KEYS.items():
+            vals = {r["frame"]: r[ours_k] for r in rows
+                    if r.get(ours_k) is not None}
+            if vals:
+                per_view[ref_k] = vals
         with open(os.path.join(out_dir, "all_metrics.json"), "w") as f:
+            json.dump(per_view, f, indent=1)
+        with open(os.path.join(out_dir, "all_metrics_rows.json"), "w") as f:
             json.dump(rows, f, indent=1)
         with open(os.path.join(out_dir, "mean_metrics.json"), "w") as f:
             json.dump(result, f, indent=1)

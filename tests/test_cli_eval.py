@@ -54,6 +54,15 @@ def test_train_cli_and_render_cli(scene_root, tmp_path):
     with open(mean_json) as f:
         saved = json.load(f)
     assert saved["psnr"] == pytest.approx(test_res["psnr"])
+    # reference key names present (render.py:98-121) with matching values
+    assert saved["PSNR"] == pytest.approx(test_res["psnr"])
+    assert saved["SKSSIM2"] == pytest.approx(saved["ssim_sk2"])
+    assert "times" in saved
+    all_json = os.path.join(model_path, "test", "ours_30", "all_metrics.json")
+    with open(all_json) as f:
+        per_view = json.load(f)
+    assert set(per_view) >= {"SSIM", "SKSSIM", "SKSSIM2", "PSNR"}
+    assert len(per_view["PSNR"]) == test_res["n_frames"]
 
 
 def test_technicolor_reader(tmp_path):
