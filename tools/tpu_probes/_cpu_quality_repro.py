@@ -59,7 +59,26 @@ pts0 = np.asarray(target.params["xyz"][:n]) + rng.normal(
 cols0 = np.clip(np.asarray(sh0_to_rgb(target.params["f_dc"][:n, 0])), 0, 1)
 
 import os as _os
-if _os.environ.get("QR_Q2SCHED"):
+if _os.environ.get("QR_FULLSCHED"):
+    # quality2's round-3 FULL reference-shaped schedule (n3v_base.json
+    # cadence ratios, DEFAULT densify thresholds, progressive growth) at
+    # this repro's iteration scale — validates convergence on CPU before
+    # the at-scale TPU run
+    opt = OptimizationConfig(
+        iterations=ITERS,
+        position_lr_init=0.0016, position_lr_final=0.00016,
+        feature_lr=0.025, opacity_lr=0.05, scaling_lr=0.005, disp_lr=0.001,
+        densification_interval=ITERS * 300 // 4000,
+        densify_from_iter=ITERS * 500 // 4000,
+        densify_until_iter=int(ITERS * 0.75),
+        extract_from_iter=ITERS * 500 // 4000,
+        extracton_interval=max(1, ITERS // 10),
+        progressive_growing_steps=max(1, ITERS // 10),
+        make_dynamic_interval=max(1, ITERS // 40),
+        prune_invisible_interval=10_000,
+        random_background=False, static_reg=0.0,
+    )
+elif _os.environ.get("QR_Q2SCHED"):
     # quality2's exact schedule (scaled iteration count) for CPU bisection
     opt = OptimizationConfig(
         iterations=ITERS,
