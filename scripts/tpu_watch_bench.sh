@@ -15,6 +15,9 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     echo "[watch] bench.py rc=$rc"
     scripts/tpu_snap_run.sh tools/tpu_probes/_tpu_bench_tiles.py
     echo "[watch] tile bench rc=$?"
+    echo "[watch] launching config-2 quality run (full schedule)"
+    scripts/tpu_snap_run.sh tools/tpu_probes/_tpu_quality2.py 2>&1 | tee /root/repo/_q2_fullsched_tpu.log
+    echo "[watch] quality2 rc=$?"
     exit 0
   fi
   sleep "$POLL"
