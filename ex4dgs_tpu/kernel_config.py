@@ -41,9 +41,14 @@ _VMEM_UNITS = 2 * 256 * 256
 
 @dataclasses.dataclass(frozen=True)
 class KernelConfig:
-    tile_x: int = 16
+    # Measured optimum (BASELINE.md round-3 tile sweep, TPU v5e): 32x16
+    # tiles at pair=1 — -36% sorted instances vs 16x16 AND half the
+    # per-tile fixed costs (19.1 vs 15.8 Mpix/s bench fwd+bwd). The
+    # reference's 16x16 (config.h:16-17) remains available via
+    # EX4DGS_TILE=16x16 (then pair=2 is the measured best).
+    tile_x: int = 32
     tile_y: int = 16
-    pair: int = 2
+    pair: int = 1
     g_chunk: int = 256
     win_align: int = 128
     bufs: int = 2
@@ -102,10 +107,10 @@ class KernelConfig:
     @staticmethod
     def from_env() -> "KernelConfig":
         tx, ty = (int(v) for v in
-                  os.environ.get(_ENV["tile"], "16x16").lower().split("x"))
+                  os.environ.get(_ENV["tile"], "32x16").lower().split("x"))
         return KernelConfig(
             tile_x=tx, tile_y=ty,
-            pair=int(os.environ.get(_ENV["pair"], "2")),
+            pair=int(os.environ.get(_ENV["pair"], "1")),
             g_chunk=int(os.environ.get(_ENV["g_chunk"], "256")),
             win_align=int(os.environ.get(_ENV["win_align"], "128")),
             bufs=int(os.environ.get(_ENV["bufs"], "2")),

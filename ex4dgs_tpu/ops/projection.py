@@ -17,12 +17,12 @@ import jax.numpy as jnp
 from .math3d import cov3d_from_scaling_rotation, ewa_project_cov, ndc2pix
 from ..kernel_config import current as _kernel_config
 
-# Tile shape in pixels. The reference uses 16x16 (config.h:16-17) and that
-# stays the default; on TPU wider tiles amortize per-tile costs and cut the
-# instance count (fewer tiles touched per splat) at the price of more blend
-# pairs. Configured via kernel_config (EX4DGS_TILE env override or
-# kernel_config.configure(); mutual constraints — e.g. 512+ px tiles need
-# pair=1 — are validated there).
+# Tile shape in pixels. The reference uses 16x16 (config.h:16-17); on TPU
+# wider tiles amortize per-tile fixed costs and cut the instance count
+# (fewer tiles touched per splat), and the measured optimum 32x16 is the
+# default (BASELINE.md round-3 tile sweep). Configured via kernel_config
+# (EX4DGS_TILE env override or kernel_config.configure(); mutual
+# constraints — e.g. 512+ px tiles need pair=1 — are validated there).
 TILE_X, TILE_Y = _kernel_config().tile_x, _kernel_config().tile_y
 
 

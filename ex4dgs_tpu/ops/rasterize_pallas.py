@@ -42,7 +42,7 @@ from ..kernel_config import current as _kernel_config
 # Instances per DMA window; larger = shorter serial chain, smaller = less
 # per-tile ceil waste. Configured via kernel_config (EX4DGS_GCHUNK override).
 G_CHUNK = _kernel_config().g_chunk
-N_PIX = TILE_X * TILE_Y  # 256 at the default 16x16
+N_PIX = TILE_X * TILE_Y  # 512 at the default 32x16
 DATA_ROWS = 16  # packed per-instance rows (one sublane tile)
 # rows: 0 xy_x, 1 xy_y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
 #       6 r, 7 g, 8 b, 9 depth, 10 fx, 11 fy, 12 fz, 13 one, 14-15 pad

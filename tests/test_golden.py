@@ -18,6 +18,20 @@ W, H = 96, 64
 
 
 def _render():
+    # Pin the tile shape: the golden bytes encode the 16x16 packed-key depth
+    # quantization (DEPTH_BITS depends on the tile count); the production
+    # default tile shape is a perf knob and must not invalidate the golden.
+    from ex4dgs_tpu.kernel_config import KernelConfig, configure, current
+
+    base = current()
+    configure(KernelConfig(tile_x=16, tile_y=16, pair=2))
+    try:
+        return _render_inner()
+    finally:
+        configure(base)
+
+
+def _render_inner():
     cam, meta = make_camera(W, H)
     sc = random_gaussians(250, seed=11)
     cov3d = compute_cov3d(jnp.exp(sc["log_scales"]), sc["quats"])

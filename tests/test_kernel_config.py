@@ -13,7 +13,7 @@ from ex4dgs_tpu.kernel_config import KernelConfig, configure, current
 
 def test_default_is_valid_and_self_describing():
     cfg = KernelConfig().validate()
-    assert cfg.n_pix == 256
+    assert cfg.n_pix == 512  # 32x16, the measured optimum (BASELINE.md r3)
     d = cfg.as_dict()
     assert set(d) == {"tile_x", "tile_y", "pair", "g_chunk", "win_align",
                       "bufs", "exact_sort"}
