@@ -52,11 +52,23 @@ print("GT rendered; mean intensity",
 
 test_infos = [i for i in infos if i.uid == 0]
 train_infos = [i for i in infos if i.uid != 0]
+# init = active rows at t=0 + noise, far-tail scale clip — mirrors
+# _tpu_quality2.py (see the comment there; the fog-init divergence)
+from ex4dgs_tpu.models.state import create_from_pcd
+from ex4dgs_tpu.models.temporal import point_data_at_t
+
 rng = np.random.default_rng(0)
-n = 2000
-pts0 = np.asarray(target.params["xyz"][:n]) + rng.normal(
-    scale=0.02, size=(n, 3)).astype(np.float32)
-cols0 = np.clip(np.asarray(sh0_to_rgb(target.params["f_dc"][:n, 0])), 0, 1)
+pd0 = point_data_at_t(target, cfg, jnp.asarray(0.0), mode=0)
+act = np.asarray(pd0.mask)
+pts0 = np.asarray(pd0.means3d)[act] + rng.normal(
+    scale=0.02, size=(int(act.sum()), 3)).astype(np.float32)
+cols0 = np.clip(np.asarray(sh0_to_rgb(pd0.features[act][:, 0])), 0, 1)
+init_model = create_from_pcd(pts0, cols0, cfg,
+                             duration=max(cfg.start_duration, 1))
+init_model = init_model._replace(params={
+    **init_model.params,
+    "scaling": jnp.minimum(init_model.params["scaling"], np.log(0.03)),
+})
 
 import os as _os
 if _os.environ.get("QR_FULLSCHED"):
@@ -113,7 +125,7 @@ info = SceneInfo(
     ply_path="",
 )
 scene = Scene(cfg, scene_info=info)
-tr = Trainer(cfg, opt, scene, capacity=CAPACITY, max_per_tile=2048,
+tr = Trainer(cfg, opt, scene, model=init_model, capacity=CAPACITY, max_per_tile=2048,
              seed=1, backend="jnp", metrics_path="/tmp/qr_metrics.jsonl",
              log_every=20)
 tr.train(iterations=ITERS)

@@ -68,14 +68,32 @@ print("GT frames rendered", flush=True)
 test_infos = [i for i in infos if i.uid == 0]
 train_infos = [i for i in infos if i.uid != 0]
 
-# init from the full target cloud + noise: a sparse subsample inflates the
-# 3-NN init scales into a screen-filling blur that burns the whole iteration
-# budget to undo (measured: 30k-of-55k init stuck at ~8 dB for 3k iters)
+# Init cloud = all ACTIVE rows at t=0 (the reference analog: the COLMAP
+# triangulation of frame 0 sees moving objects at their t=0 positions,
+# scripts/pre_n3d.py:42-49) + noise. Two measured failure modes to avoid
+# (both produced the fog init that diverged at 800x600):
+#  - slicing params["xyz"][:55000] includes 5k capacity-PADDING rows — a
+#    dense zero blob at the origin with garbage colors;
+#  - the random volumetric cloud's 3-NN far tail inflates init scales into
+#    thousand-pixel splats (iter-0 render mean 0.51 vs GT 0.07). Real COLMAP
+#    clouds are surface-like and don't have this tail; make_scene applies
+#    the same clip to the TARGET's scales for the same reason
+#    (synthetic.py:65-72), so the trained init gets it too.
+from ex4dgs_tpu.models.state import create_from_pcd
+from ex4dgs_tpu.models.temporal import point_data_at_t
+
 rng = np.random.default_rng(0)
-n = 55_000
-pts0 = np.asarray(target.params["xyz"][:n]) + rng.normal(
-    scale=0.02, size=(n, 3)).astype(np.float32)
-cols0 = np.clip(np.asarray(sh0_to_rgb(target.params["f_dc"][:n, 0])), 0, 1)
+pd0 = point_data_at_t(target, cfg, jnp.asarray(0.0), mode=0)
+act = np.asarray(pd0.mask)
+pts0 = np.asarray(pd0.means3d)[act] + rng.normal(
+    scale=0.02, size=(int(act.sum()), 3)).astype(np.float32)
+cols0 = np.clip(np.asarray(sh0_to_rgb(pd0.features[act][:, 0])), 0, 1)
+init_model = create_from_pcd(pts0, cols0, cfg,
+                             duration=max(cfg.start_duration, 1))
+init_model = init_model._replace(params={
+    **init_model.params,
+    "scaling": jnp.minimum(init_model.params["scaling"], np.log(0.03)),
+})
 
 if FULL_SCHED:
     # Reference-shaped schedule (configs/N3V/n3v_base.json scaled to this
@@ -119,9 +137,9 @@ info = SceneInfo(
     ply_path="",
 )
 scene = Scene(cfg, scene_info=info)
-tr = Trainer(cfg, opt, scene, capacity=CAPACITY, max_per_tile=4096,
-             seed=1, backend="pallas", metrics_path="/tmp/q2_metrics.jsonl",
-             log_every=50)
+tr = Trainer(cfg, opt, scene, model=init_model, capacity=CAPACITY,
+             max_per_tile=4096, seed=1, backend="pallas",
+             metrics_path="/tmp/q2_metrics.jsonl", log_every=50)
 t0 = time.time()
 tr.train(iterations=ITERS)
 wall = time.time() - t0
