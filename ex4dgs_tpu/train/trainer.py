@@ -79,6 +79,7 @@ class Trainer:
         metrics_path: str | None = None,
         debug_snapshot_dir: str | None = None,
         kernel: "KernelConfig | None" = None,
+        gui=None,
     ):
         """mesh: optional jax.sharding.Mesh with (data, gauss) axes — enables
         the SPMD step (parallel/step_dp.py): `data` cameras are consumed per
@@ -124,6 +125,9 @@ class Trainer:
         self.test_iterations = set(test_iterations)
         self._metrics_file = open(metrics_path, "a") if metrics_path else None
         self.debug_snapshot_dir = debug_snapshot_dir
+        # Optional live network viewer (viewer.NetworkViewer), polled once per
+        # iteration like the reference's network_gui hook (train.py:93-106).
+        self.gui = gui
 
         # schedule state (train.py:77-86)
         self.sample_len = float(cfg.start_duration)
@@ -191,6 +195,11 @@ class Trainer:
         while self.iteration < iterations:
             self.iteration += 1
             it = self.iteration
+
+            if self.gui is not None:
+                # serve viewer requests between steps (train.py:93-106)
+                self.gui.poll(self._gui_render, self.cfg.source_path or "",
+                              training_active=self.iteration < iterations)
 
             if it % 1000 == 0:
                 self.model = self.model._replace(
@@ -478,6 +487,20 @@ class Trainer:
         return {"n_frames": len(vals), "psnr": float(np.mean(vals))}
 
     # ------------------------------------------------------------------
+    def _gui_render(self, req) -> np.ndarray:
+        """Render the live model for a viewer request (network_gui analog —
+        the viewer drives timestamp/scaling; gaussian_renderer serves it)."""
+        from ..rendering import render
+
+        res = render(
+            req.camera, self.model, self.cfg,
+            t=jnp.asarray(req.timestamp, jnp.float32),
+            bg=jnp.zeros(3, jnp.float32), capacity=self.capacity,
+            max_per_tile=self.max_per_tile,
+            scaling_modifier=req.scaling_modifier, backend=self.backend,
+        )
+        return np.asarray(res.render)
+
     def save(self, model_path: str, iteration: int | None = None) -> None:
         it = iteration or self.iteration
         hm = D.pull(self.model, self.opt_state)

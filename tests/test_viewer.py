@@ -110,3 +110,59 @@ def test_viewer_loopback_roundtrip():
     np.testing.assert_allclose(
         np.asarray(req.camera.campos), np.linalg.inv(view)[:3, 3], atol=1e-5
     )
+
+
+def test_trainer_serves_viewer_mid_training(tmp_path_factory):
+    """The Trainer polls the gui each iteration and serves live renders of
+    the CURRENT model (the reference's in-loop network_gui hook,
+    train.py:93-106)."""
+    import os
+
+    from ex4dgs_tpu.data.readers import read_n3v_scene
+    from ex4dgs_tpu.data.scene import Scene
+    from ex4dgs_tpu.models import ModelConfig, OptimizationConfig
+    from ex4dgs_tpu.train.trainer import Trainer
+    from tests.test_data_io import _write_colmap_model, _write_frames
+
+    root = str(tmp_path_factory.mktemp("vscene"))
+    _write_colmap_model(os.path.join(root, "colmap_0", "sparse", "0"),
+                        n_cams=3, n_pts=120)
+    _write_frames(root, n_cams=3, n_frames=2)
+    cfg = ModelConfig(source_path=root, loader="neural3dvideo", resolution=8,
+                      duration=-1, time_interval=2, time_pad=1,
+                      start_duration=2, near=0.05, far=50.0)
+    opt = OptimizationConfig(iterations=3, densify_from_iter=1000,
+                             extract_from_iter=1000, densify_until_iter=0,
+                             prune_invisible_interval=100000,
+                             random_background=False)
+    scene = Scene(cfg, scene_info=read_n3v_scene(root, cfg))
+
+    viewer = NetworkViewer(port=0)
+    port = viewer.init()
+    trainer = Trainer(cfg, opt, scene, capacity=65536, max_per_tile=256,
+                      gui=viewer)
+
+    W, H = 32, 24
+    fov = math.radians(60)
+    view = world_to_view(np.eye(3), np.array([0.0, 0.0, 4.0], np.float32))
+    proj = (projection_matrix(0.2, 50.0, fov, fov) @ view).astype(np.float32)
+    result = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        s.settimeout(60)
+        _send_msg(s, _wire_message(view, proj, W, H, fov, fov, train=True))
+        result["img"] = _recv_exact(s, H * W * 3)
+        result["verify"] = _recv_exact(
+            s, int.from_bytes(_recv_exact(s, 4), "little"))
+        s.close()
+
+    th = threading.Thread(target=client)
+    th.start()
+    trainer.train(iterations=3)  # polls the gui before every step
+    th.join(timeout=30)
+    viewer.close()
+    assert not th.is_alive(), "viewer client not served during training"
+    assert result["verify"] == root.encode()
+    img = np.frombuffer(result["img"], np.uint8).reshape(H, W, 3)
+    assert img.shape == (H, W, 3)  # a live frame of the training model

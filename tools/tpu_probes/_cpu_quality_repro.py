@@ -29,7 +29,7 @@ target, _ = make_scene(n_static=3_000, n_dynamic=300, duration=8.0, seed=7,
 cams = ring_cameras(N_CAMS, 3.0, W, H, far=cfg.far)
 fov = math.radians(60)
 
-out_dir = "/tmp/qr_frames"
+out_dir = os.environ.get("QR_FRAMES", "/tmp/qr_frames")
 os.makedirs(out_dir, exist_ok=True)
 infos = []
 for ci, cam in enumerate(cams):
@@ -126,7 +126,8 @@ info = SceneInfo(
 )
 scene = Scene(cfg, scene_info=info)
 tr = Trainer(cfg, opt, scene, model=init_model, capacity=CAPACITY, max_per_tile=2048,
-             seed=1, backend="jnp", metrics_path="/tmp/qr_metrics.jsonl",
+             seed=1, backend="jnp",
+             metrics_path=os.environ.get("QR_METRICS", "/tmp/qr_metrics.jsonl"),
              log_every=20)
 tr.train(iterations=ITERS)
 print("n_static", int(tr.model.n_static()), "n_dyn", int(tr.model.n_dynamic()))

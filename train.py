@@ -36,7 +36,15 @@ def main(argv=None):
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--save_iterations", type=int, nargs="*", default=[])
+    # reference flag alias: checkpoints save alongside PLYs in Trainer.save
+    parser.add_argument("--checkpoint_iterations", type=int, nargs="*", default=[])
     parser.add_argument("--test_iterations", type=int, nargs="*", default=[])
+    parser.add_argument("--ip", type=str, default="127.0.0.1",
+                        help="live SIBR viewer listen address (train.py:377)")
+    parser.add_argument("--port", type=int, default=0,
+                        help="live viewer port; 0 disables the viewer "
+                             "(reference default 6009)")
+    parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--backend", type=str, default=None,
                         help="pallas | jnp | None=auto")
@@ -100,20 +108,35 @@ def main(argv=None):
         mesh = make_mesh(args.mesh_data * args.mesh_gauss,
                          data=args.mesh_data, gauss=args.mesh_gauss)
 
+    gui = None
+    if args.port:
+        from ex4dgs_tpu.viewer import NetworkViewer
+
+        gui = NetworkViewer(args.ip, args.port)
+        try:
+            print(f"viewer listening on {args.ip}:{gui.init()}", flush=True)
+        except OSError as e:
+            print(f"viewer disabled: {e}", flush=True)
+            gui = None
+
     trainer = Trainer(cfg, opt, scene, model=model, opt_state=opt_state,
                       seed=args.seed, backend=args.backend, mesh=mesh,
                       test_iterations=tuple(args.test_iterations),
                       debug_snapshot_dir=(os.path.join(model_path, "debug")
-                                          if args.debug else None))
+                                          if args.debug else None),
+                      gui=gui)
     if args.start_checkpoint:
         trainer.iteration = start_it
         if "sample_len" in extra:
             trainer.sample_len = float(extra["sample_len"])
             scene.set_sampling_len(trainer.sample_len, sample_every=cfg.sample_every)
 
-    save_at = sorted(set(args.save_iterations) | {opt.iterations})
+    save_at = sorted(set(args.save_iterations) | set(args.checkpoint_iterations)
+                     | {opt.iterations})
 
     def progress(it, loss, psnr_val):
+        if args.quiet:
+            return
         print(f"[{it}/{opt.iterations}] loss={loss:.5f} psnr={psnr_val:.2f} "
               f"static={int(trainer.model.n_static())} "
               f"dynamic={int(trainer.model.n_dynamic())}", flush=True)
