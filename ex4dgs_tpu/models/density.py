@@ -315,7 +315,11 @@ def densify_and_prune(
     new_s = {
         "xyz": np.einsum("nij,nj->ni", rots, samples)
         + np.repeat(hm.params["xyz"][ss], N, axis=0),
-        "scaling": np.log(np.repeat(np.exp(hm.params["scaling"][ss]), N, axis=0) / (0.8 * N)),
+        # log-domain form of log(exp(s)/(0.8N)) (c_gaussian_model.py:905):
+        # exp(s) underflows to 0 for collapsed splats (s < ~-87 in f32),
+        # poisoning the new row with -inf
+        "scaling": np.repeat(hm.params["scaling"][ss], N, axis=0)
+        - np.float32(np.log(0.8 * N)),
     }
     for k in ("rotation", "f_dc", "f_rest", "opacity", "xyz_disp"):
         new_s[k] = np.repeat(hm.params[k][ss], N, axis=0)
@@ -347,9 +351,9 @@ def densify_and_prune(
         disp = np.einsum("nij,nj->ni", rots_m, samples).reshape(-1, kf, 3)
         new_d = {
             "motion_xyz": disp + np.repeat(hm.params["motion_xyz"][sd], N, axis=0),
-            "motion_scaling": np.log(
-                np.repeat(np.exp(hm.params["motion_scaling"][sd]), N, axis=0) / (0.8 * N)
-            ),
+            # log-domain (see the static split above): avoids exp underflow
+            "motion_scaling": np.repeat(hm.params["motion_scaling"][sd], N, axis=0)
+            - np.float32(np.log(0.8 * N)),
         }
         for k in hm.params:
             if k.startswith("motion_") and k not in (

@@ -228,3 +228,22 @@ def test_roundtrip_then_train_step():
     out = train_step(model, state, cam, jnp.zeros((32, 48, 3)), jnp.asarray(1.0),
                      jnp.zeros(3), jnp.asarray(100, jnp.int32), statics)
     assert np.isfinite(float(out.loss))
+
+
+def test_split_collapsed_scale_stays_finite():
+    """Split of a collapsed splat (log-scale < f32 exp underflow, ~-88) must
+    not produce -inf children: the log-domain form log(exp(s)/(0.8N)) ==
+    s - log(0.8N) is exact and underflow-free (c_gaussian_model.py:905)."""
+    cfg, hm = _host()
+    opt = OptimizationConfig()
+    hm.stats["xyz_gradient_accum"][0] = 10.0
+    hm.stats["denom"][0] = 1.0
+    hm.params["scaling"][0] = 2.0   # large -> split
+    hm.params["scaling"][1] = -120.0  # collapsed bystander: exp underflows
+    hm.stats["xyz_gradient_accum"][1] = 10.0
+    hm.stats["denom"][1] = 1.0
+    # make the collapsed one ALSO split-eligible via screen size
+    hm.stats["max_radii2D"][1] = 1e9
+    D.densify_and_prune(hm, cfg, opt, extent=10.0, rng=np.random.default_rng(0),
+                        min_opacity=0.0, max_screen_size=100.0)
+    assert np.isfinite(hm.params["scaling"]).all()
