@@ -50,8 +50,15 @@ def make_scene(
     cfg: ModelConfig | None = None,
     static_capacity: int | None = None,
     dynamic_capacity: int | None = None,
+    opacity: float | None = None,
 ) -> tuple[GaussianModel, ModelConfig]:
-    """A unit-box cloud of static splats plus orbiting dynamic splats."""
+    """A unit-box cloud of static splats plus orbiting dynamic splats.
+
+    opacity: optional static-splat opacity override (default keeps
+    create_from_pcd's 0.1). Real captured scenes are surface-like and mostly
+    opaque; quality harnesses pass ~0.85 so the target resembles N3V content
+    instead of translucent dust (which makes densification thresholds
+    pathological — every pixel's error spreads over ~20 blended layers)."""
     if cfg is None:
         cfg = ModelConfig(time_interval=5, start_duration=5,
                           duration=int(duration), near=0.2, far=100.0)
@@ -66,10 +73,16 @@ def make_scene(
     # the initialized scale) explodes into thousand-pixel splats — real COLMAP
     # clouds are surface-like and don't. Clip to keep the synthetic workload
     # representative of a trained scene's splat-size distribution.
-    model = model._replace(params={
+    new_params = {
         **model.params,
         "scaling": jnp.minimum(model.params["scaling"], np.log(0.03)),
-    })
+    }
+    if opacity is not None:
+        from .ops.math3d import inverse_sigmoid
+
+        new_params["opacity"] = new_params["opacity"].at[:n_static].set(
+            float(inverse_sigmoid(np.float32(opacity))))
+    model = model._replace(params=new_params)
 
     if n_dynamic > 0:
         kf = model.keyframe_capacity

@@ -25,7 +25,8 @@ _sd = 8 if __import__("os").environ.get("QR_Q2SCHED") else 4
 cfg = ModelConfig(time_interval=2, time_pad=1, start_duration=_sd, duration=8,
                   near=0.2, far=50.0, resolution=1)
 target, _ = make_scene(n_static=3_000, n_dynamic=300, duration=8.0, seed=7,
-                       static_capacity=4096, dynamic_capacity=512, cfg=cfg)
+                       static_capacity=4096, dynamic_capacity=512, cfg=cfg,
+                       opacity=float(os.environ.get("QR_TARGET_OPACITY", 0.85)))
 cams = ring_cameras(N_CAMS, 3.0, W, H, far=cfg.far)
 fov = math.radians(60)
 

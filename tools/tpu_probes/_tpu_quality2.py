@@ -39,12 +39,17 @@ FULL_SCHED = os.environ.get("Q2_SOFT", "0") != "1"  # VERDICT r3: full is defaul
 cfg = ModelConfig(time_interval=2, time_pad=1,
                   start_duration=2 if FULL_SCHED else 8, duration=8,
                   near=0.2, far=50.0, resolution=1)
+# opacity 0.85: surface-like target (real captures are mostly opaque; a
+# translucent opacity-0.1 dust target spreads every pixel's error across
+# ~20 blended layers and made the reference-shaped densify/extract schedule
+# runaway — measured: 55k -> 550k splats by iter 1700, PSNR stuck ~12)
 target, _ = make_scene(n_static=50_000, n_dynamic=5_000, duration=8.0, seed=7,
-                       static_capacity=65_536, dynamic_capacity=8_192, cfg=cfg)
+                       static_capacity=65_536, dynamic_capacity=8_192, cfg=cfg,
+                       opacity=0.85)
 cams = ring_cameras(N_CAMS, 3.0, W, H, far=cfg.far)
 fov = math.radians(60)
 
-out_dir = "/tmp/q2_frames"
+out_dir = "/tmp/q2s_frames"  # surface-target GT (regenerate vs the dust GT)
 os.makedirs(out_dir, exist_ok=True)
 infos = []
 for ci, cam in enumerate(cams):
