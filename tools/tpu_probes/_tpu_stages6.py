@@ -20,7 +20,8 @@ model = model._replace(params={
     "scaling": jnp.minimum(model.params["scaling"], jnp.log(0.02)),
 })
 cam = ring_cameras(1, 3.0, W, H, far=cfg.far)[0]
-capacity = 2 * 1024 * 1024
+import os
+capacity = int(os.environ.get("ST_CAP", 917504))  # snug for 730k @32x16; 2M for round-2 comparison
 gx, gy = tile_grid(W, H)
 gt = jnp.zeros((H, W, 3))
 
@@ -56,8 +57,9 @@ def pipeline(params, t, stage):
     if stage == 45:  # L1 in TILED layout (no untile in the graph)
         gt_t = jax.lax.stop_gradient(color) * 0.5
         return jnp.abs(color - gt_t).mean()
-    img = color.reshape(gy, gx, 16, 16, 3)
-    img = jnp.moveaxis(img, 2, 1).reshape(gy * 16, gx * 16, 3)[:H, :W]
+    from ex4dgs_tpu.ops.projection import TILE_X, TILE_Y
+    img = color.reshape(gy, gx, TILE_Y, TILE_X, 3)
+    img = jnp.moveaxis(img, 2, 1).reshape(gy * TILE_Y, gx * TILE_X, 3)[:H, :W]
     if stage == 5:
         return l1_loss(img, gt)
     return 0.8 * l1_loss(img, gt) + 0.2 * (1.0 - ssim(img, gt))
