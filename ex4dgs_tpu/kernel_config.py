@@ -30,7 +30,7 @@ import sys
 _ENV = {
     "tile": "EX4DGS_TILE", "pair": "EX4DGS_PAIR", "g_chunk": "EX4DGS_GCHUNK",
     "win_align": "EX4DGS_ALIGN", "bufs": "EX4DGS_BUFS",
-    "exact_sort": "EX4DGS_EXACT_SORT",
+    "exact_sort": "EX4DGS_EXACT_SORT", "pair_fwd": "EX4DGS_PAIR_FWD",
 }
 
 # Empirical scoped-VMEM budget for the backward kernel's live set, in
@@ -49,9 +49,17 @@ class KernelConfig:
     tile_x: int = 32
     tile_y: int = 16
     pair: int = 1
-    g_chunk: int = 256
+    # 128 at 32x16 (measured 19.44 vs 19.02 Mpix/s): finer DMA windows waste
+    # less per-tile ceil at the halved tile count. At 16x16 the measured
+    # optimum was 256.
+    g_chunk: int = 128
     win_align: int = 128
     bufs: int = 2
+    # Forward-kernel pane count, decoupled from `pair` (which the backward
+    # uses): the backward's live set (dbuf + prefix + win0 accumulators) hits
+    # the 16 MB scoped-VMEM wall at half the pane count the forward does, so
+    # wide tiles can still pane-batch the forward. 0 = same as `pair`.
+    pair_fwd: int = 0
     # Binning depth-sort numerics: False = packed 31-bit (tile | truncated
     # depth bits) single-key sort (~2^-10 relative within-tile depth
     # quantization, ties blend in Gaussian-index order — measurably faster,
@@ -63,6 +71,11 @@ class KernelConfig:
     @property
     def n_pix(self) -> int:
         return self.tile_x * self.tile_y
+
+    @property
+    def pair_f(self) -> int:
+        """Effective forward pane count (pair_fwd == 0 inherits pair)."""
+        return self.pair_fwd or self.pair
 
     def validate(self) -> "KernelConfig":
         def fail(msg: str):
@@ -90,6 +103,16 @@ class KernelConfig:
                 f"> {_VMEM_UNITS}); e.g. 512+ px tiles need pair=1 "
                 "(BASELINE.md: PAIR=4 and PAIR=2@32x16 both exceeded it)"
             )
+        if self.pair_fwd < 0:
+            fail("pair_fwd must be >= 0 (0 = same as pair)")
+        # The forward's live set is roughly half the backward's (no gradient
+        # write buffers / prefix accumulators), so it fits ~2x the panes.
+        if self.pair_f * self.n_pix * self.g_chunk > 2 * _VMEM_UNITS:
+            fail(
+                "forward-kernel live set exceeds the scoped-VMEM budget "
+                f"(pair_fwd*n_pix*g_chunk = {self.pair_f * self.n_pix * self.g_chunk} "
+                f"> {2 * _VMEM_UNITS})"
+            )
         return self
 
     def as_dict(self) -> dict:
@@ -111,10 +134,11 @@ class KernelConfig:
         return KernelConfig(
             tile_x=tx, tile_y=ty,
             pair=int(os.environ.get(_ENV["pair"], "1")),
-            g_chunk=int(os.environ.get(_ENV["g_chunk"], "256")),
+            g_chunk=int(os.environ.get(_ENV["g_chunk"], "128")),
             win_align=int(os.environ.get(_ENV["win_align"], "128")),
             bufs=int(os.environ.get(_ENV["bufs"], "2")),
             exact_sort=os.environ.get(_ENV["exact_sort"], "0") == "1",
+            pair_fwd=int(os.environ.get(_ENV["pair_fwd"], "0")),
         ).validate()
 
 
@@ -126,8 +150,8 @@ _active: KernelConfig | None = None
 def _exports(cfg: KernelConfig) -> dict:
     return {
         "TILE_X": cfg.tile_x, "TILE_Y": cfg.tile_y, "N_PIX": cfg.n_pix,
-        "PAIR": cfg.pair, "G_CHUNK": cfg.g_chunk, "WIN_ALIGN": cfg.win_align,
-        "BUFS": cfg.bufs,
+        "PAIR": cfg.pair, "PAIR_F": cfg.pair_f, "G_CHUNK": cfg.g_chunk,
+        "WIN_ALIGN": cfg.win_align, "BUFS": cfg.bufs,
     }
 
 

@@ -170,6 +170,10 @@ def pack_sorted(proj: Projected, colors, flow, binning: Binning):
 # (EX4DGS_PAIR override; the pair x tile-area VMEM constraint is validated
 # there).
 PAIR = _kernel_config().pair
+# Forward pane count (may exceed PAIR: the forward's live set is ~half the
+# backward's, so wide tiles can still pane-batch the forward — KernelConfig
+# pair_fwd, 0 = inherit).
+PAIR_F = _kernel_config().pair_f
 
 # FORWARD window-origin alignment granularity. Each tile's read-DMA chain
 # starts at the WIN_ALIGN-aligned slot below its range start, wasting avg
@@ -301,7 +305,7 @@ def _chunk_alpha(chunk, moms, lo, hi, ox, oy):
     # against [PAIR, 1, 1] scalars would need a sublane+lane broadcast, which
     # Mosaic can't lower; two single-axis broadcasts (lanes here, sublanes at
     # the & below) express the same thing.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (PAIR, 1, G_CHUNK), 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (chunk.shape[0], 1, G_CHUNK), 2)
     lane_m = (lane >= lo) & (lane < hi)
     m = lane_m & (power <= 0.0) & (alpha_c >= comp.ALPHA_MIN)
     alpha = jnp.where(m, alpha_c, 0.0)
@@ -343,7 +347,7 @@ def _pair_scalars_i32(vals):
 def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
                     tfinal_out, bestidx_out, buf, gbuf, cum_ref, tfin_ref,
                     best_ref, bid_ref, acc_ref, sem, gsem, *, grid_x,
-                    track_idx, subpixel):
+                    track_idx, subpixel, pair):
     """Composite a PAIR of adjacent tiles per grid step, batched on a leading
     pair axis: every VPU op covers both tiles' [N_PIX, G] panes (2x the work
     per instruction — hides op latency on the serial transmittance chain) and
@@ -352,19 +356,19 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
     pair axis free MXU rows. A tile that exhausts its chunks or latches early
     keeps streaming masked zero contributions until its partner finishes."""
     p = pl.program_id(0)
-    t0 = p * PAIR
-    start_k = [starts[t0 + k] for k in range(PAIR)]
-    stop_k = [stops[t0 + k] for k in range(PAIR)]
+    t0 = p * pair
+    start_k = [starts[t0 + k] for k in range(pair)]
+    stop_k = [stops[t0 + k] for k in range(pair)]
     base_k = [(s // WIN_ALIGN) * WIN_ALIGN for s in start_k]
-    n_k = [pl.cdiv(stop_k[k] - base_k[k], G_CHUNK) for k in range(PAIR)]
+    n_k = [pl.cdiv(stop_k[k] - base_k[k], G_CHUNK) for k in range(pair)]
     # tids[t] = GLOBAL tile index: under tile sharding (parallel/step_dp.py)
     # each device composites a slab of tiles, so the grid index is slab-local.
-    oxy = [_tile_origin(tids[t0 + k], grid_x) for k in range(PAIR)]
-    ox = _pair_scalars([o[0] for o in oxy])  # [PAIR, 1, 1]
+    oxy = [_tile_origin(tids[t0 + k], grid_x) for k in range(pair)]
+    ox = _pair_scalars([o[0] for o in oxy])  # [pair, 1, 1]
     oy = _pair_scalars([o[1] for o in oxy])
     px, py = _local_pixels()  # [N_PIX, 1]
-    pxp = jnp.broadcast_to(px[None], (PAIR, N_PIX, 1))
-    pyp = jnp.broadcast_to(py[None], (PAIR, N_PIX, 1))
+    pxp = jnp.broadcast_to(px[None], (pair, N_PIX, 1))
+    pyp = jnp.broadcast_to(py[None], (pair, N_PIX, 1))
     if subpixel:
         # per-pixel anti-aliasing offsets (forward.cu:311-317)
         pxp = pxp + off_in[:, :, 0:1]
@@ -372,11 +376,11 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
     moms = _pixel_moments(pxp, pyp)  # [PAIR, N_PIX, 8]
     cumU = _cumsum_matrix()
 
-    acc_ref[:] = jnp.zeros((PAIR, N_PIX, N_ACC), jnp.float32)
-    cum_ref[:] = jnp.ones((PAIR, N_PIX, 1), jnp.float32)
-    tfin_ref[:] = jnp.full((PAIR, N_PIX, 1), comp.T_SENTINEL, jnp.float32)
-    best_ref[:] = jnp.zeros((PAIR, N_PIX, 1), jnp.float32)
-    bid_ref[:] = jnp.full((PAIR, N_PIX, 1), -1, jnp.int32)
+    acc_ref[:] = jnp.zeros((pair, N_PIX, N_ACC), jnp.float32)
+    cum_ref[:] = jnp.ones((pair, N_PIX, 1), jnp.float32)
+    tfin_ref[:] = jnp.full((pair, N_PIX, 1), comp.T_SENTINEL, jnp.float32)
+    best_ref[:] = jnp.zeros((pair, N_PIX, 1), jnp.float32)
+    bid_ref[:] = jnp.full((pair, N_PIX, 1), -1, jnp.int32)
     # A tile that runs out of chunks before its partner reads whatever its
     # buffer pane holds (mask kills the weights, but 0 * NaN from truly
     # uninitialized VMEM would still poison the feature matmul) — start from
@@ -405,7 +409,7 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
                 gsem.at[slot, k],
             ).wait()
 
-    for k in range(PAIR):
+    for k in range(pair):
         for d in range(BUFS - 1):
             @pl.when(d < n_k[k])
             def _(k=k, d=d):
@@ -415,7 +419,7 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
         j, _ = carry
         slot = jax.lax.rem(j, BUFS)
         # pipelined prefetch: fetch chunk j+BUFS-1 while blending chunk j
-        for k in range(PAIR):
+        for k in range(pair):
             @pl.when(j + BUFS - 1 < n_k[k])
             def _(k=k):
                 start_dma(k, j + BUFS - 1, jax.lax.rem(j + BUFS - 1, BUFS))
@@ -424,8 +428,8 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
                 wait_dma(k, j, slot)
 
         off = _pair_scalars_i32(
-            [base_k[k] + j * G_CHUNK for k in range(PAIR)]
-        )  # [PAIR, 1, 1]
+            [base_k[k] + j * G_CHUNK for k in range(pair)]
+        )  # [pair, 1, 1]
         lo = _pair_scalars_i32(start_k) - off
         # exhausted tiles (j >= n_k): hi <= 0 masks the whole pane
         hi = jnp.minimum(
@@ -452,7 +456,7 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
 
         if track_idx:
             cmax = jnp.max(w, axis=2, keepdims=True)
-            ids = jnp.broadcast_to(gbuf[slot][:, 0:1, :], (PAIR, N_PIX, G_CHUNK))
+            ids = jnp.broadcast_to(gbuf[slot][:, 0:1, :], (pair, N_PIX, G_CHUNK))
             # id of the max-weight lane (min id among exact ties)
             cid = jnp.min(
                 jnp.where((w == cmax) & (cmax > 0), ids, jnp.int32(2**30)),
@@ -467,7 +471,7 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
         # per-tile alive signal: tile k continues while j < n_k and its max
         # transmittance is above the latch
         alive = False
-        for k in range(PAIR):
+        for k in range(pair):
             alive_k = (j + 1 < n_k[k]) & (jnp.max(new_cum[k]) >= comp.T_EPS)
             alive = alive_k if alive is False else alive | alive_k
         return j + 1, alive
@@ -477,13 +481,13 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
         return alive
 
     any0 = False
-    for k in range(PAIR):
+    for k in range(pair):
         a = n_k[k] > 0
         any0 = a if any0 is False else any0 | a
     j_exit, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), any0))
 
     # early exit leaves prefetches in flight — drain them per tile
-    for k in range(PAIR):
+    for k in range(pair):
         for d in range(BUFS - 1):
             @pl.when(j_exit + d < n_k[k])
             def _(k=k, d=d):
@@ -496,9 +500,11 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
     bestidx_out[:] = bid_ref[:]
 
 
-def _pad_pair(arr, num_tiles, fill=0):
-    """Pad a leading tile axis up to a PAIR multiple (empty-tile sentinel)."""
-    t_pad = pl.cdiv(num_tiles, PAIR) * PAIR
+def _pad_pair(arr, num_tiles, fill=0, pair=None):
+    """Pad a leading tile axis up to a pane-count multiple (empty-tile
+    sentinel). pair defaults to the backward's PAIR."""
+    pair = PAIR if pair is None else pair
+    t_pad = pl.cdiv(num_tiles, pair) * pair
     if t_pad == num_tiles:
         return arr
     pad = [(0, t_pad - num_tiles)] + [(0, 0)] * (arr.ndim - 1)
@@ -507,15 +513,16 @@ def _pad_pair(arr, num_tiles, fill=0):
 
 def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
                     num_tiles, grid_x, interpret=False, track_idx=True):
+    pf = PAIR_F
     subpixel = subpixel_offsets is not None
     if not subpixel:  # dummy single block, never read
-        subpixel_offsets = jnp.zeros((PAIR, N_PIX, 2), jnp.float32)
+        subpixel_offsets = jnp.zeros((pf, N_PIX, 2), jnp.float32)
     else:
-        subpixel_offsets = _pad_pair(subpixel_offsets, num_tiles)
-    # pad to a PAIR multiple with empty tiles (start == stop == 0)
-    starts = _pad_pair(starts, num_tiles)
-    stops = _pad_pair(stops, num_tiles)
-    tids = _pad_pair(tids, num_tiles)
+        subpixel_offsets = _pad_pair(subpixel_offsets, num_tiles, pair=pf)
+    # pad to a pane-count multiple with empty tiles (start == stop == 0)
+    starts = _pad_pair(starts, num_tiles, pair=pf)
+    stops = _pad_pair(stops, num_tiles, pair=pf)
+    tids = _pad_pair(tids, num_tiles, pair=pf)
     if WIN_ALIGN < G_CHUNK:
         # a tile's last window can reach past `capacity` by up to
         # G_CHUNK - WIN_ALIGN slots: one window of tail headroom
@@ -523,34 +530,35 @@ def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
         gid = jnp.pad(gid, ((0, 0), (0, G_CHUNK)))
     t_pad = starts.shape[0]
     kernel = functools.partial(_forward_kernel, grid_x=grid_x,
-                               track_idx=track_idx, subpixel=subpixel)
+                               track_idx=track_idx, subpixel=subpixel,
+                               pair=pf)
     off_map = (lambda p, *_: (p, 0, 0)) if subpixel else (lambda p, *_: (0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(t_pad // PAIR,),
+        grid=(t_pad // pf,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((PAIR, N_PIX, 2), off_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((pf, N_PIX, 2), off_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((PAIR, N_PIX, N_ACC), lambda p, *_: (p, 0, 0),
+            pl.BlockSpec((pf, N_PIX, N_ACC), lambda p, *_: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PAIR, N_PIX, 1), lambda p, *_: (p, 0, 0),
+            pl.BlockSpec((pf, N_PIX, 1), lambda p, *_: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PAIR, N_PIX, 1), lambda p, *_: (p, 0, 0),
+            pl.BlockSpec((pf, N_PIX, 1), lambda p, *_: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BUFS, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # buf
-            pltpu.VMEM((BUFS, PAIR, 1, G_CHUNK), jnp.int32),  # gbuf
-            pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # cum
-            pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # tfin
-            pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # best w
-            pltpu.VMEM((PAIR, N_PIX, 1), jnp.int32),  # best id
-            pltpu.VMEM((PAIR, N_PIX, N_ACC), jnp.float32),  # accum
-            pltpu.SemaphoreType.DMA((BUFS, PAIR)),
-            pltpu.SemaphoreType.DMA((BUFS, PAIR)),
+            pltpu.VMEM((BUFS, pf, DATA_ROWS, G_CHUNK), jnp.float32),  # buf
+            pltpu.VMEM((BUFS, pf, 1, G_CHUNK), jnp.int32),  # gbuf
+            pltpu.VMEM((pf, N_PIX, 1), jnp.float32),  # cum
+            pltpu.VMEM((pf, N_PIX, 1), jnp.float32),  # tfin
+            pltpu.VMEM((pf, N_PIX, 1), jnp.float32),  # best w
+            pltpu.VMEM((pf, N_PIX, 1), jnp.int32),  # best id
+            pltpu.VMEM((pf, N_PIX, N_ACC), jnp.float32),  # accum
+            pltpu.SemaphoreType.DMA((BUFS, pf)),
+            pltpu.SemaphoreType.DMA((BUFS, pf)),
         ],
     )
     accum, tfinal, bestidx = pl.pallas_call(
