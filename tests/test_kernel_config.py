@@ -16,7 +16,7 @@ def test_default_is_valid_and_self_describing():
     assert cfg.n_pix == 512  # 32x16, the measured optimum (BASELINE.md r3)
     d = cfg.as_dict()
     assert set(d) == {"tile_x", "tile_y", "pair", "g_chunk", "win_align",
-                      "bufs", "exact_sort"}
+                      "bufs", "exact_sort", "pair_fwd"}
     assert KernelConfig.from_dict(d) == cfg
 
 
@@ -29,9 +29,10 @@ def test_default_is_valid_and_self_describing():
     dict(win_align=64),
     dict(win_align=512),
     dict(bufs=1),
-    # The documented VMEM wall: 512-px tiles at pair=2 (BASELINE.md negative
-    # result) must fail at configure time, not inside Mosaic.
-    dict(tile_x=32, tile_y=16, pair=2),
+    # The documented VMEM wall: 512-px tiles at pair=2 with 256-instance DMA
+    # windows (BASELINE.md negative result) must fail at configure time, not
+    # inside Mosaic. (At g_chunk=128 the live set halves and fits the model.)
+    dict(tile_x=32, tile_y=16, pair=2, g_chunk=256),
     dict(pair=4),
 ])
 def test_invalid_configs_fail_fast(bad):
