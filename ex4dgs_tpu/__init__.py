@@ -19,3 +19,23 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# f32 matmul semantics by default. On TPU the MXU's DEFAULT precision rounds
+# f32 operands to bf16 (8-bit mantissa); every cancellation-sensitive matmul
+# in this framework — SSIM variance statistics, the oracle's compositing
+# einsums, the pack-VJP block-cumsum of gradients, the in-kernel log-space
+# transmittance chain — then carries ~4e-3 relative noise. That noise broke
+# at-scale training outright (SSIM denominators went negative in flat image
+# regions; see ops/losses.py::_depthwise_blur) and silently degraded
+# everything else, while every CPU test was blind to it (CPU matmuls are
+# f32). Correct-by-default: opt out per call site with an explicit
+# `precision=` where a measurement shows DEFAULT/HIGH is safe, or globally
+# via EX4DGS_MATMUL_PRECISION for experiments.
+import os as _os
+
+import jax as _jax
+
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("EX4DGS_MATMUL_PRECISION", "highest"),
+)

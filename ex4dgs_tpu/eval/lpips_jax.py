@@ -71,6 +71,10 @@ def _conv(x, w, b, stride, pad):
         x, jnp.asarray(w), window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # eval metric: keep f32 conv accuracy on TPU (the MXU's DEFAULT
+        # precision is bf16, which would make the metric non-comparable to
+        # the torch reference; perf is irrelevant here)
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out + jnp.asarray(b).reshape(1, -1, 1, 1)
 

@@ -66,12 +66,23 @@ def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.nda
     h, w, c = img.shape
     bh = jnp.asarray(_band_matrix(h, window_size, sigma), img.dtype)
     bw = jnp.asarray(_band_matrix(w, window_size, sigma), img.dtype)
+    # precision=HIGHEST: the TPU MXU multiplies in bf16 by DEFAULT, which
+    # rounds the image operand to an 8-bit mantissa. The SSIM variance
+    # sigma^2 = blur(x^2) - mu^2 then carries ~4e-3 absolute noise — bigger
+    # than C2 = 9e-4 — so in flat regions (black background) the denominator
+    # b2 goes NEGATIVE and the SSIM map explodes to +-hundreds. This single
+    # flag was the root cause of the 800x600 quality-run collapse (loss
+    # oscillating +-0.8 / SSIM outside [-1,1] / NaN cascade, BASELINE.md
+    # round-4 note); f32-accumulating 6-pass matmuls restore CPU-identical
+    # statistics at a measured ~x3 blur cost.
     x = img.reshape(h, w * c)
     x = lax.dot_general(bh, x, (((0,), (0,)), ((), ())),
-                        preferred_element_type=img.dtype)
+                        preferred_element_type=img.dtype,
+                        precision=lax.Precision.HIGHEST)
     x = x.reshape(h, w, c).transpose(0, 2, 1).reshape(h * c, w)
     x = lax.dot_general(x, bw, (((1,), (0,)), ((), ())),
-                        preferred_element_type=img.dtype)
+                        preferred_element_type=img.dtype,
+                        precision=lax.Precision.HIGHEST)
     return x.reshape(h, c, w).transpose(0, 2, 1)
 
 
