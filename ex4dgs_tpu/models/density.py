@@ -119,9 +119,11 @@ def push(
         arr = np.array(empty)  # mutable copy
         v = hm.params.get(k)  # absent => stays empty (e.g. tangents added now)
         if v is not None:
-            if k in KEYFRAME_KEYS and v.shape[0] > 0:
+            if k in KEYFRAME_KEYS:
+                # always via the keyframe path: kc may exceed v's K axis
+                # (pre-allocated keyframe capacity), including when n == 0
                 kf = min(v.shape[1], kc)
-                arr[:n, :kf] = v[:, :kf]
+                arr[:n, :kf] = v[:n, :kf]
             else:
                 arr[:n] = v
         params[k] = jnp.asarray(arr)
@@ -129,9 +131,9 @@ def push(
             a = np.zeros_like(arr)
             w = src.get(k)
             if w is not None:
-                if k in KEYFRAME_KEYS and w.shape[0] > 0:
+                if k in KEYFRAME_KEYS:
                     kf = min(w.shape[1], kc)
-                    a[:n, :kf] = w[:, :kf]
+                    a[:n, :kf] = w[:n, :kf]
                 else:
                     a[:n] = w
             dst[k] = jnp.asarray(a)

@@ -141,6 +141,13 @@ class Trainer:
 
         scene.apply_timepad(cfg.time_pad, cfg.time_pad_type)
         scene.set_sampling_len(cfg.start_duration, sample_every=cfg.sample_every)
+        # Keyframe capacity for the FULL scene duration up front: progressive
+        # growth then never reshapes the motion arrays (a reshape = a full
+        # step recompile, minutes on the remote TPU compile service).
+        from ..models.state import required_keyframes
+
+        self._kf_floor = required_keyframes(
+            scene.duration + cfg.time_shift, cfg)
         self._host_event(lambda hm: D.expand_duration(hm, cfg, cfg.start_duration))
 
     # ------------------------------------------------------------------
@@ -164,17 +171,29 @@ class Trainer:
         return self._sharded_step
 
     def _host_event(self, fn) -> None:
-        """Pull -> mutate on host -> push with bucketed capacities."""
+        """Pull -> mutate on host -> push with bucketed capacities.
+
+        Capacity policy minimizes recompiles (each capacity change retraces
+        the whole step, and this stack's remote TPU compile costs minutes):
+        static capacity grows GEOMETRICALLY (at least 2x) when exceeded, and
+        keyframe capacity is pre-allocated for the full scene duration at
+        construction (see __init__) so progressive duration growth never
+        reshapes the motion arrays — padding keyframes are masked by
+        keyframe_num exactly like padding rows."""
         hm = D.pull(self.model, self.opt_state)
         fn(hm)
-        sc = max(round_capacity(hm.n_static), self.model.static_capacity)
+        sc = self.model.static_capacity
+        if round_capacity(hm.n_static) > sc:
+            sc = max(round_capacity(hm.n_static), round_capacity(2 * sc))
         # shrink if utilization dropped far below capacity
         if hm.n_static < self.model.static_capacity // 4:
             sc = round_capacity(hm.n_static)
         dc = self.model.dynamic_capacity
         if hm.n_dynamic > dc:
-            dc = round_capacity(hm.n_dynamic, 1024)
-        kf_needed = max(hm.keyframe_num, hm.params["motion_xyz"].shape[1])
+            dc = max(round_capacity(hm.n_dynamic, 1024),
+                     round_capacity(2 * dc, 1024) if dc else 0)
+        kf_needed = max(hm.keyframe_num, hm.params["motion_xyz"].shape[1],
+                        self._kf_floor)
         self.model, self.opt_state = D.push(
             hm, self.cfg, static_capacity=sc, dynamic_capacity=dc,
             keyframe_capacity=kf_needed,
