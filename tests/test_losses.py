@@ -85,3 +85,20 @@ def test_ssim_custom_vjp_matches_autodiff():
     for x, y, name in zip(g_our, g_ref, ("img1", "img2")):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4,
                                    rtol=1e-3, err_msg=name)
+
+
+def test_package_pins_f32_matmul_precision():
+    """The TPU MXU's DEFAULT matmul precision rounds f32 operands to bf16,
+    which put ~4e-3 noise into the SSIM variance statistics and made the
+    denominator negative in flat image regions — the root cause of the
+    800x600 quality-run collapse (BASELINE.md round 4). The package pins
+    jax_default_matmul_precision at import; this guards against the pin
+    being dropped (CPU tests are otherwise blind: CPU matmuls are f32)."""
+    import os
+
+    import jax
+
+    import ex4dgs_tpu  # noqa: F401  (import installs the config)
+
+    expect = os.environ.get("EX4DGS_MATMUL_PRECISION", "highest")
+    assert jax.config.jax_default_matmul_precision == expect
