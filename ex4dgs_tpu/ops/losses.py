@@ -55,7 +55,32 @@ def _band_matrix(n: int, window_size: int, sigma: float):
     return m  # numpy: jnp conversion happens per-trace (never cache tracers)
 
 
-def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+def _depthwise_blur_shifts(img: jnp.ndarray, window_size: int,
+                           sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of [H, W, C] with zero same-padding, as
+    window_size shifted multiply-adds per axis on the VPU.
+
+    Exact f32 (no MXU involved): the alternative to the banded-matmul blur
+    below when the matmul must run at HIGHEST precision — 2x11 fused
+    elementwise passes beat 2x6 dense f32 MXU passes over a 97%-zero band
+    matrix. Zero boundary semantics are identical (pad + truncated taps)."""
+    g = _gaussian_window(window_size, sigma)
+    half = window_size // 2
+    h, w, c = img.shape
+    x = jnp.pad(img.reshape(h, w * c), ((half, half), (0, 0)))
+    out = None
+    for k, gk in enumerate(g):  # blur along H: sublane-axis slices
+        t = jnp.float32(gk) * lax.slice_in_dim(x, k, k + h, axis=0)
+        out = t if out is None else out + t
+    x = jnp.pad(out.reshape(h, w, c), ((0, 0), (half, half), (0, 0)))
+    out = None
+    for k, gk in enumerate(g):  # blur along W
+        t = jnp.float32(gk) * lax.slice_in_dim(x, k, k + w, axis=1)
+        out = t if out is None else out + t
+    return out
+
+
+def _depthwise_blur_matmul(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
     """Separable Gaussian blur of [H, W, C] with zero same-padding, as two
     banded-matrix matmuls.
 
@@ -84,6 +109,17 @@ def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.nda
                         preferred_element_type=img.dtype,
                         precision=lax.Precision.HIGHEST)
     return x.reshape(h, c, w).transpose(0, 2, 1)
+
+
+import os as _os
+
+_BLUR_IMPL = _os.environ.get("EX4DGS_SSIM_BLUR", "shifts")
+
+
+def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    if _BLUR_IMPL == "matmul":
+        return _depthwise_blur_matmul(img, window_size, sigma)
+    return _depthwise_blur_shifts(img, window_size, sigma)
 
 
 _C1 = 0.01**2
