@@ -49,6 +49,56 @@ DATA_ROWS = 16  # packed per-instance rows (one sublane tile)
 N_ACC = 8  # accum channels: r g b depth fx fy fz acc
 
 
+# In-kernel matmul precision. The global jax_default_matmul_precision is
+# HIGHEST (f32 semantics — see ex4dgs_tpu/__init__.py for why bf16 defaults
+# broke training), but Mosaic lowers HIGHEST as a 6-pass f32 emulation and
+# does not support HIGH (bf16x3) at all; measured on v5e the kernels lost
+# ~23 ms/step to the 6-pass dots. These helpers hand-roll operand splitting:
+# x = hi + lo with hi = f32(bf16(x)), giving ~2^-16 relative operand error in
+# 2 passes (one exact operand) or 3 passes (both split) of DEFAULT-precision
+# MXU matmuls. EX4DGS_KERNEL_DOT=highest restores the 6-pass dots for A/B.
+import os as _os
+
+KERNEL_DOT = _os.environ.get("EX4DGS_KERNEL_DOT", "split")
+_PREC = (jax.lax.Precision.DEFAULT, jax.lax.Precision.DEFAULT)
+
+
+def _split_f32(x):
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def _dot_xsplit(a, b, dims):
+    """dot_general(a, b) with only `a` split: use when `b` is exactly
+    representable in bf16 (e.g. the 0/1 cumsum operator). 2 MXU passes."""
+    if KERNEL_DOT == "highest":
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    ah, al = _split_f32(a)
+    d = lambda u: jax.lax.dot_general(u, b, dims,
+                                      preferred_element_type=jnp.float32,
+                                      precision=_PREC)
+    return d(ah) + d(al)
+
+
+def _dot_split(a, b, dims):
+    """dot_general(a, b) with both operands split: hi*hi + hi*lo + lo*hi +
+    lo*lo, 4 MXU passes vs HIGHEST's 6 for the same f32-level accuracy.
+    (Dropping lo*lo leaves ~1.6e-5 relative error — measured over the 3e-5
+    pallas-vs-oracle tolerance through the exp of the power matmul.)"""
+    if KERNEL_DOT == "highest":
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    ah, al = _split_f32(a)
+    bh, bl = _split_f32(b)
+    d = lambda u, v: jax.lax.dot_general(u, v, dims,
+                                         preferred_element_type=jnp.float32,
+                                         precision=_PREC)
+    return (d(ah, bh) + d(al, bl)) + (d(ah, bl) + d(al, bh))
+
+
 # Pack-gather VJP strategy. "segment": re-sort instances by source Gaussian
 # (recovering the expansion order whose contiguous segment boundaries binning
 # already knows via cum/counts) and reduce each Gaussian's cotangent as a
@@ -257,9 +307,8 @@ def _lane_cumsum(x, cumU):
     carry = None
     for b in range(G_CHUNK // G_SUB):
         blk = x[..., b * G_SUB:(b + 1) * G_SUB]
-        cs = jax.lax.dot_general(
+        cs = _dot_xsplit(  # cumU is 0/1: exact in bf16, split blk only
             blk, cumU, (((blk.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
         )
         if carry is not None:
             cs = cs + carry
@@ -294,9 +343,8 @@ def _chunk_alpha(chunk, moms, lo, hi, ox, oy):
         -0.5 * cc,  # py^2
         zero, zero,
     ], axis=1)  # [PAIR, 8, G]
-    power = jax.lax.dot_general(
+    power = _dot_split(
         moms, coef, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
     )  # [PAIR, N_PIX, G]
     expt = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = op * expt
@@ -444,9 +492,8 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
         w = jnp.where(applied, alpha * cum_excl, 0.0)
 
         feats = chunk[:, 6:6 + N_ACC, :]  # [PAIR, 8, G]
-        acc_ref[:] += jax.lax.dot_general(
+        acc_ref[:] += _dot_split(
             w, feats, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
         )
 
         chunk_min = jnp.min(
@@ -719,9 +766,8 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
         )
 
         # features: [PAIR, G, N_ACC] = W^T @ g_accum
-        dfeat = jax.lax.dot_general(
+        dfeat = _dot_split(
             w, gacc, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
         )
 
         e_term = expt * dl_dalpha  # [PAIR, N_PIX, G]
@@ -729,9 +775,8 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
         dl_dopac = jnp.sum(e_term, axis=1)[:, None, :]  # [PAIR,1,G]
 
         # pixel-moment reduction: [PAIR, G, 8] (last 2 cols zero padding)
-        pm = jax.lax.dot_general(
+        pm = _dot_split(
             dl_dpower, moms, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
         )
         pmt = jnp.swapaxes(pm, 1, 2)  # [PAIR, 8, G]
         s0 = pmt[:, 0:1, :]
