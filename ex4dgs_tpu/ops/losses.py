@@ -127,13 +127,13 @@ _C2 = 0.03**2
 
 
 def _ssim_stats(img1, img2, window_size, sigma):
-    blur = lambda x: _depthwise_blur(x, window_size, sigma)
-    mu1 = blur(img1)
-    mu2 = blur(img2)
-    s11 = blur(img1 * img1)
-    s22 = blur(img2 * img2)
-    s12 = blur(img1 * img2)
-    return mu1, mu2, s11, s22, s12
+    # One blur for all five moment maps: the separable blur treats channels
+    # independently, so stacking on C amortizes the pad/shift passes 5x.
+    c = img1.shape[-1]
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1)
+    b = _depthwise_blur(stacked, window_size, sigma)
+    return b[..., :c], b[..., c:2*c], b[..., 2*c:3*c], b[..., 3*c:4*c], b[..., 4*c:]
 
 
 def _ssim_map_from_stats(mu1, mu2, s11, s22, s12):
@@ -164,16 +164,18 @@ def _ssim_map_bwd(window_size, sigma, res, g):
     dA1/dmu1 = 2 mu2, dA2/dmu1 = -2 mu2, dB1/dmu1 = 2 mu1, dB2/dmu1 = -2 mu1,
     dA2/ds12 = 2, dB2/ds11 = 1; and mu/s are window-blurs of x, x^2, xy."""
     img1, img2, (mu1, mu2, s11, s22, s12), (a1, a2, b1, b2), s = res
-    blur = lambda x: _depthwise_blur(x, window_size, sigma)
     gs = g * s
     c_mu1 = 2 * gs * (mu2 / a1 - mu2 / a2 - mu1 / b1 + mu1 / b2)
     c_mu2 = 2 * gs * (mu1 / a1 - mu1 / a2 - mu2 / b1 + mu2 / b2)
     c_s11 = -gs / b2
     c_s12 = 2 * gs / a2
-    b_mu1 = blur(c_mu1)
-    b_mu2 = blur(c_mu2)
-    b_s11 = blur(c_s11)
-    b_s12 = blur(c_s12)
+    # one blur for all four cotangent maps (channel-stacked, see _ssim_stats)
+    c = img1.shape[-1]
+    b = _depthwise_blur(
+        jnp.concatenate([c_mu1, c_mu2, c_s11, c_s12], axis=-1),
+        window_size, sigma)
+    b_mu1, b_mu2, b_s11, b_s12 = (
+        b[..., :c], b[..., c:2*c], b[..., 2*c:3*c], b[..., 3*c:])
     d1 = b_mu1 + 2 * img1 * b_s11 + img2 * b_s12
     d2 = b_mu2 + 2 * img2 * b_s11 + img1 * b_s12
     return d1, d2
