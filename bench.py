@@ -32,7 +32,11 @@ W = int(os.environ.get("BENCH_W", 1352))
 H = int(os.environ.get("BENCH_H", 1014))
 N_STATIC = int(os.environ.get("BENCH_STATIC", 100_000))
 N_DYNAMIC = int(os.environ.get("BENCH_DYNAMIC", 10_000))
-ITERS = int(os.environ.get("BENCH_ITERS", 10))
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 2))  # report the best window
+# (a transient TPU-service stall inside one ~1s timing window once produced
+# a 10x-low outlier while the train-step metric measured seconds later was
+# fine; repeated windows make the estimator robust to stalls)
 
 _TRANSIENT = (
     "Unable to initialize backend",
@@ -126,12 +130,14 @@ def main():
         g = step(model.params, jnp.asarray(float(i % 5)))
     jax.block_until_ready(g)
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        g = step(model.params, jnp.asarray(float(i % 5)))
-    jax.block_until_ready(g)
-    dt = time.perf_counter() - t0
-    mpix_s = W * H * ITERS / dt / 1e6
+    best_dt = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            g = step(model.params, jnp.asarray(float(i % 5)))
+        jax.block_until_ready(g)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    mpix_s = W * H * ITERS / best_dt / 1e6
 
     # --- full train step (render+loss+bwd+RAdam+stat accumulators) ---------
     train_mpix_s = None
@@ -156,12 +162,14 @@ def main():
         jax.block_until_ready(out.loss)
         out = tick(1)
         jax.block_until_ready(out.loss)
-        t0 = time.perf_counter()
-        for i in range(ITERS):
-            out = tick(i)
-        jax.block_until_ready(out.loss)
-        dt = time.perf_counter() - t0
-        train_mpix_s = W * H * ITERS / dt / 1e6
+        best_dt = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            for i in range(ITERS):
+                out = tick(i)
+            jax.block_until_ready(out.loss)
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        train_mpix_s = W * H * ITERS / best_dt / 1e6
 
     from ex4dgs_tpu.ops import projection as _proj
     from ex4dgs_tpu.ops import rasterize_pallas as _rp
