@@ -67,17 +67,21 @@ def _depthwise_blur_shifts(img: jnp.ndarray, window_size: int,
     g = _gaussian_window(window_size, sigma)
     half = window_size // 2
     h, w, c = img.shape
-    x = jnp.pad(img.reshape(h, w * c), ((half, half), (0, 0)))
-    out = None
-    for k, gk in enumerate(g):  # blur along H: sublane-axis slices
-        t = jnp.float32(gk) * lax.slice_in_dim(x, k, k + h, axis=0)
-        out = t if out is None else out + t
-    x = jnp.pad(out.reshape(h, w, c), ((0, 0), (half, half), (0, 0)))
-    out = None
-    for k, gk in enumerate(g):  # blur along W
-        t = jnp.float32(gk) * lax.slice_in_dim(x, k, k + w, axis=1)
-        out = t if out is None else out + t
-    return out
+
+    def axis0_blur(x, n):  # [n, m]: taps shift along the SUBLANE axis —
+        # contiguous aligned slices that fuse into one pass (lane-axis
+        # shifts would be stride-c rotates, measured ~5x slower)
+        xp = jnp.pad(x, ((half, half), (0, 0)))
+        out = None
+        for k, gk in enumerate(g):
+            t = jnp.float32(gk) * lax.slice_in_dim(xp, k, k + n, axis=0)
+            out = t if out is None else out + t
+        return out
+
+    x = axis0_blur(img.reshape(h, w * c), h)
+    x = jnp.swapaxes(x.reshape(h, w, c), 0, 1).reshape(w, h * c)
+    x = axis0_blur(x, w)
+    return jnp.swapaxes(x.reshape(w, h, c), 0, 1)
 
 
 def _depthwise_blur_matmul(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
