@@ -60,6 +60,9 @@ N_ACC = 8  # accum channels: r g b depth fx fy fz acc
 import os as _os
 
 KERNEL_DOT = _os.environ.get("EX4DGS_KERNEL_DOT", "split")
+# power evaluation: "direct" = the oracle's quadratic form on the VPU (exact
+# f32, no MXU pass); "mxu" = pixel-moment polynomial matmul (split dots).
+POWER_IMPL = _os.environ.get("EX4DGS_POWER", "direct")
 _PREC = (jax.lax.Precision.DEFAULT, jax.lax.Precision.DEFAULT)
 
 
@@ -317,35 +320,44 @@ def _lane_cumsum(x, cumU):
     return jnp.concatenate(parts, axis=-1)
 
 
-def _chunk_alpha(chunk, moms, lo, hi, ox, oy):
+def _chunk_alpha(chunk, moms, lo, hi, ox, oy, pxp=None, pyp=None):
     """Alpha pieces for a [PAIR, 16, G] chunk pair against each tile's pixels.
 
-    Per pair k, lanes in [lo[k], hi[k]) hold tile k's instances (DMA windows
+    Per pair k, lanes in [lo[k], hi[k)) hold tile k's instances (DMA windows
     are 128-aligned, so a window may straddle the tile's range ends); others
     are masked out — including entire exhausted tiles (hi <= 0), whose stale
     buffer contents mask to zero contributions.
-    Returns (alpha, alpha_raw, exp_term, mask), each [PAIR, N_PIX, G]."""
+
+    power is evaluated DIRECTLY on the VPU when pixel coordinates are given
+    (POWER_IMPL "direct": -0.5 ca dx^2 - 0.5 cc dy^2 - cb dx dy, the oracle's
+    exact formula, compositing.py:72-74 — no MXU, no cancellation) or as the
+    legacy pixel-moment MXU matmul against `moms` (EX4DGS_POWER=mxu).
+    Returns (alpha, exp_term, mask), each [PAIR, N_PIX, G]."""
     xs = chunk[:, 0:1, :] - ox  # [PAIR, 1, G], tile-local
     ys = chunk[:, 1:2, :] - oy
     ca = chunk[:, 2:3, :]
     cb = chunk[:, 3:4, :]
     cc = chunk[:, 4:5, :]
     op = chunk[:, 5:6, :]
-    zero = jnp.zeros_like(xs)
-    # power = -0.5 ca (xg-px)^2 - 0.5 cc (yg-py)^2 - cb (xg-px)(yg-py)
-    # as a polynomial in (px, py):
-    coef = jnp.concatenate([
-        -0.5 * (ca * xs * xs + cc * ys * ys) - cb * xs * ys,  # 1
-        ca * xs + cb * ys,  # px
-        cc * ys + cb * xs,  # py
-        -0.5 * ca,  # px^2
-        -cb,  # px*py
-        -0.5 * cc,  # py^2
-        zero, zero,
-    ], axis=1)  # [PAIR, 8, G]
-    power = _dot_split(
-        moms, coef, (((2,), (1,)), ((0,), (0,))),
-    )  # [PAIR, N_PIX, G]
+    if POWER_IMPL == "direct" and pxp is not None:
+        dx = pxp - xs  # [PAIR, N_PIX, G]
+        dy = pyp - ys
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    else:
+        zero = jnp.zeros_like(xs)
+        # power as a polynomial in (px, py) fed to the MXU:
+        coef = jnp.concatenate([
+            -0.5 * (ca * xs * xs + cc * ys * ys) - cb * xs * ys,  # 1
+            ca * xs + cb * ys,  # px
+            cc * ys + cb * xs,  # py
+            -0.5 * ca,  # px^2
+            -cb,  # px*py
+            -0.5 * cc,  # py^2
+            zero, zero,
+        ], axis=1)  # [PAIR, 8, G]
+        power = _dot_split(
+            moms, coef, (((2,), (1,)), ((0,), (0,))),
+        )  # [PAIR, N_PIX, G]
     expt = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = op * expt
     alpha_c = jnp.minimum(alpha_raw, comp.ALPHA_MAX)
@@ -484,7 +496,7 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
             _pair_scalars_i32(stop_k) - off, jnp.int32(G_CHUNK)
         )
         chunk = buf[slot]  # [PAIR, DATA_ROWS, G_CHUNK]
-        alpha, _, _ = _chunk_alpha(chunk, moms, lo, hi, ox, oy)
+        alpha, _, _ = _chunk_alpha(chunk, moms, lo, hi, ox, oy, pxp, pyp)
 
         cum_in = cum_ref[:]  # [PAIR, N_PIX, 1]
         cum, cum_excl = _transmittance(alpha, cum_in, cumU)
@@ -745,7 +757,7 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
         lo = _pair_scalars_i32(start_k) - off
         hi = _pair_scalars_i32(stop_k) - off
         chunk = buf[rslot]  # [PAIR, DATA_ROWS, G_CHUNK]
-        alpha, expt, _ = _chunk_alpha(chunk, moms, lo, hi, ox, oy)
+        alpha, expt, _ = _chunk_alpha(chunk, moms, lo, hi, ox, oy, pxp, pyp)
 
         one_m = 1.0 - alpha
         cum_in = cum_ref[:]
