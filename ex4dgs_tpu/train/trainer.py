@@ -293,7 +293,11 @@ class Trainer:
                 if total <= self.capacity:
                     break
                 self.overflow_count += 1
-                self.capacity = round_capacity(total * 5 // 4, 65536)
+                # at least double: every distinct capacity is a full step
+                # recompile (minutes on the remote TPU compile service), and
+                # oversized binning buffers cost only ~linear sort time
+                self.capacity = round_capacity(
+                    max(total * 5 // 4, self.capacity * 2), 65536)
             else:
                 # Still overflowing after all retries: the gated step was a
                 # no-op, but the loss/psnr below come from a truncated render.
