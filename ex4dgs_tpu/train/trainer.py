@@ -227,19 +227,24 @@ class Trainer:
                     )
                 )
 
-            # next camera (new shuffled epoch when exhausted, train.py:117-125)
-            if cam_iter is None:
-                cams = self.scene.sampled_train_cameras()
-                if not cams:
-                    raise RuntimeError("no train cameras in sampling window")
-                cam_iter = self.prefetcher.epoch(cams, shuffle=True, rng=self.pyrng)
-                if it > opt.prune_invisible_interval:
-                    self.prune_inv = True
-            try:
-                cam, gt = next(cam_iter)
-            except StopIteration:
-                cam_iter = None
-                continue
+            # next camera — a new shuffled epoch refills WITHIN the same
+            # iteration, like the reference's viewpoint-stack pop
+            # (train.py:117-125): every iteration trains, and scheduled
+            # events can never be skipped by an epoch boundary
+            while True:
+                if cam_iter is None:
+                    cams = self.scene.sampled_train_cameras()
+                    if not cams:
+                        raise RuntimeError("no train cameras in sampling window")
+                    cam_iter = self.prefetcher.epoch(cams, shuffle=True,
+                                                     rng=self.pyrng)
+                    if it > opt.prune_invisible_interval:
+                        self.prune_inv = True
+                try:
+                    cam, gt = next(cam_iter)
+                    break
+                except StopIteration:
+                    cam_iter = None
 
             if self.mark_last and cam.timestamp >= self.sample_len - cfg.time_interval:
                 self.mark_extract = True

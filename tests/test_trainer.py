@@ -135,3 +135,33 @@ def test_trainer_sharded_mesh(disk_scene):
     assert losses[-5:].mean() < losses[:5].mean() * 1.5
     for k, v in trainer.model.params.items():
         assert bool(np.isfinite(np.asarray(v)).all()), k
+
+
+def test_trainer_preallocates_keyframes(disk_scene):
+    """Progressive duration growth must never reshape the motion arrays:
+    keyframe capacity is sized for the full scene duration at construction
+    (every capacity reshape retraces the jitted step — minutes per graph on
+    the remote TPU compile service)."""
+    cfg = ModelConfig(
+        source_path=disk_scene, loader="neural3dvideo", resolution=8,
+        duration=-1, time_interval=2, time_pad=1, start_duration=2,
+        near=0.05, far=50.0,
+    )
+    opt = OptimizationConfig(
+        iterations=90, densification_interval=1000, densify_from_iter=1000,
+        extract_from_iter=10, densify_until_iter=1000,
+        progressive_growing_steps=30, make_dynamic_interval=5,
+        extracton_interval=40, prune_invisible_interval=100000,
+        random_background=False,
+    )
+    scene = Scene(cfg, scene_info=read_n3v_scene(disk_scene, cfg))
+    trainer = Trainer(cfg, opt, scene, capacity=65536, max_per_tile=256)
+    from ex4dgs_tpu.models.state import required_keyframes
+
+    kc0 = trainer.model.params["motion_xyz"].shape[1]
+    assert kc0 >= required_keyframes(scene.duration + cfg.time_shift, cfg)
+    kn0 = int(trainer.model.keyframe_num)
+    trainer.train(iterations=90)  # crosses progressive-growth boundaries
+    assert trainer.model.params["motion_xyz"].shape[1] == kc0  # no reshape
+    assert trainer.sample_len > cfg.start_duration  # growth actually ran
+    assert int(trainer.model.keyframe_num) >= kn0
