@@ -38,7 +38,11 @@ FULL_SCHED = os.environ.get("Q2_SOFT", "0") != "1"  # VERDICT r3: full is defaul
 
 cfg = ModelConfig(time_interval=2, time_pad=1,
                   start_duration=2 if FULL_SCHED else 8, duration=8,
-                  near=0.2, far=50.0, resolution=1)
+                  near=0.2, far=50.0, resolution=1,
+                  # Q2_SH=0 ablation: the synthetic GT is Lambertian
+                  # (f_rest == 0), so angular SH freedom can only overfit
+                  # the 9 training views
+                  sh_degree=int(os.environ.get("Q2_SH", 3)))
 # opacity 0.85: surface-like target (real captures are mostly opaque; a
 # translucent opacity-0.1 dust target spreads every pixel's error across
 # ~20 blended layers and made the reference-shaped densify/extract schedule
@@ -144,11 +148,16 @@ info = SceneInfo(
 scene = Scene(cfg, scene_info=info)
 tr = Trainer(cfg, opt, scene, model=init_model, capacity=CAPACITY,
              max_per_tile=4096, seed=1, backend="pallas",
-             metrics_path="/tmp/q2_metrics.jsonl", log_every=50)
+             metrics_path="/tmp/q2_metrics.jsonl", log_every=50,
+             # held-out PSNR trajectory: localizes any train/test gap in
+             # time (SH-degree bumps at 1000/2000/3000 vs densify from 600)
+             test_iterations=tuple(range(250, ITERS + 1, 250)))
 t0 = time.time()
 tr.train(iterations=ITERS)
 wall = time.time() - t0
 mpix_train = ITERS * W * H / wall / 1e6  # incl. schedule/host events
+
+tr.save("/tmp/q2_model")  # post-mortem: full checkpoint + PLY pair
 
 # held-out metrics (production pallas renderer)
 rows = []
@@ -165,6 +174,8 @@ for inf in test_infos:
         "ssim_sk": float(ssim_skimage(img, gt)),
     })
     print(rows[-1], flush=True)
+    Image.fromarray((img * 255).astype(np.uint8)).save(
+        f"/tmp/q2_render_{inf.image_name}")
 
 # render-only FPS on the production path (one camera re-rendered; the
 # reference recipe is 20x500 with 100 warmup — use 5x100/50 here to keep the
