@@ -106,6 +106,25 @@ def render_set(
     if measure_fps:
         cam = cams[0].render_camera()
         t = jnp.asarray(cams[0].timestamp, jnp.float32)
+        # Render-time buffers are sized to the actual instance count like the
+        # reference (it allocates per num_rendered, rasterizer_impl.cu:
+        # 298-299); the TRAINING capacity can be several x larger, and every
+        # capacity-shaped op (expand/sort/pack) would tax each frame.
+        from ..models.state import round_capacity
+        from ..rendering import render as _render
+
+        probe = _render(cam, model, cfg, t=t, bg=bg, capacity=capacity,
+                        max_per_tile=max_per_tile)
+        snug = min(capacity,
+                   round_capacity(int(probe.binning_total) * 5 // 4, 65536))
+        if snug != capacity:
+            capacity = snug
+
+            @jax.jit
+            def render_one(model, cam, t):  # noqa: F811 — re-jit at snug size
+                return render(cam, model, cfg, t=t, bg=bg, capacity=capacity,
+                              max_per_tile=max_per_tile).render
+
         # The reference recipe (render.py:91-96): 20 rounds x 500 renders,
         # timing each call individually and keeping only calls past the
         # per-round 100-iteration warmup. Its render() synchronizes per call

@@ -179,9 +179,16 @@ for inf in test_infos:
 
 # render-only FPS on the production path (one camera re-rendered; the
 # reference recipe is 20x500 with 100 warmup — use 5x100/50 here to keep the
-# single-chip queue reasonable, same estimator)
+# single-chip queue reasonable, same estimator). Buffers sized to the actual
+# instance count like the reference (rasterizer_impl.cu:298-299 allocates
+# per num_rendered), not the training capacity.
+from ex4dgs_tpu.models.state import round_capacity
+
+_probe = render(cams[1], tr.model, cfg, t=jnp.asarray(1.0), bg=jnp.zeros(3),
+                capacity=CAPACITY, max_per_tile=4096, backend="pallas")
+RCAP = min(CAPACITY, round_capacity(int(_probe.binning_total) * 5 // 4, 65536))
 rfn = jax.jit(lambda m, t: render(
-    cams[1], m, cfg, t=t, bg=jnp.zeros(3), capacity=CAPACITY,
+    cams[1], m, cfg, t=t, bg=jnp.zeros(3), capacity=RCAP,
     max_per_tile=4096, backend="pallas").render)
 for _ in range(50):
     rfn(tr.model, jnp.asarray(1.0)).block_until_ready()
