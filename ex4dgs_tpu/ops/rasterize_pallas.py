@@ -86,10 +86,11 @@ def _dot_xsplit(a, b, dims):
 
 
 def _dot_split(a, b, dims):
-    """dot_general(a, b) with both operands split: hi*hi + hi*lo + lo*hi +
-    lo*lo, 4 MXU passes vs HIGHEST's 6 for the same f32-level accuracy.
-    (Dropping lo*lo leaves ~1.6e-5 relative error — measured over the 3e-5
-    pallas-vs-oracle tolerance through the exp of the power matmul.)"""
+    """dot_general(a, b) with both operands split: hi*hi + hi*lo + lo*hi
+    (+ lo*lo unless EX4DGS_KERNEL_DOT=split3), 4 MXU passes vs HIGHEST's 6
+    for the same f32-level accuracy. The lo*lo products are ~2^-16 relative
+    — split3 drops that pass (25% fewer MXU issues) and stays inside the
+    3e-5 pallas-vs-oracle tolerance (tests/test_pallas.py)."""
     if KERNEL_DOT == "highest":
         return jax.lax.dot_general(a, b, dims,
                                    preferred_element_type=jnp.float32,
@@ -99,6 +100,8 @@ def _dot_split(a, b, dims):
     d = lambda u, v: jax.lax.dot_general(u, v, dims,
                                          preferred_element_type=jnp.float32,
                                          precision=_PREC)
+    if KERNEL_DOT == "split3":
+        return d(ah, bh) + (d(ah, bl) + d(al, bh))
     return (d(ah, bh) + d(al, bl)) + (d(ah, bl) + d(al, bh))
 
 

@@ -12,8 +12,32 @@ and only the tiny [cols] carry array needs a lane-direction scan.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# The package pins jax_default_matmul_precision=highest (f32 semantics on the
+# MXU — see ex4dgs_tpu/__init__.py), which XLA emulates as SIX bf16 passes per
+# matmul. The block-cumsum operator below is a 0/1 lower-triangular matrix —
+# EXACT in bf16 — so splitting only the data operand (x = hi + lo with
+# hi = f32(bf16(x))) reaches ~2^-16 relative operand accuracy in TWO
+# DEFAULT-precision passes. EX4DGS_SCAN_DOT=highest restores the 6-pass form.
+_SCAN_DOT = os.environ.get("EX4DGS_SCAN_DOT", "split")
+
+
+def _tri_dot(lower: jnp.ndarray, x3: jnp.ndarray) -> jnp.ndarray:
+    """einsum('ij,bjk->bik', lower, x3) where `lower` is 0/1 (bf16-exact)."""
+    if _SCAN_DOT == "highest" or x3.dtype != jnp.float32:
+        return jnp.einsum("ij,bjk->bik", lower, x3,
+                          preferred_element_type=x3.dtype,
+                          precision=jax.lax.Precision.HIGHEST)
+    xh = x3.astype(jnp.bfloat16).astype(jnp.float32)
+    xl = x3 - xh
+    d = lambda u: jnp.einsum("ij,bjk->bik", lower, u,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
+    return d(xh) + d(xl)
 
 
 def blocked_cumsum_2d(x: jnp.ndarray, cols: int = 1024) -> jnp.ndarray:
@@ -62,9 +86,7 @@ def matmul_block_cumsum_parts(x: jnp.ndarray, block: int = 256):
     i = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
     lower = (j <= i).astype(x.dtype)
-    cs = jnp.einsum(
-        "ij,bjk->bik", lower, x3, preferred_element_type=x.dtype
-    )
+    cs = _tri_dot(lower, x3)
     sums = cs[:, -1, :]  # [b, k] per-block totals
     carry_ex = jnp.cumsum(sums, axis=0) - sums  # exclusive prefix, tiny scan
     return cs.reshape(n, k), carry_ex
