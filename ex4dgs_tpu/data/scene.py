@@ -157,9 +157,19 @@ class ImagePrefetcher:
 
     Prefers the native C++ libpng pool (ex4dgs_tpu/native) — box-filter
     downsample, bypasses the GIL entirely; falls back to a PIL thread pool
-    (LANCZOS) when the native build is unavailable or a file is not PNG."""
+    (LANCZOS) when the native build is unavailable or a file is not PNG.
 
-    def __init__(self, workers: int = 4, lookahead: int = 8, native: bool = True):
+    device_cache_mb: budget for an LRU cache of DEVICE-RESIDENT decoded
+    frames (default EX4DGS_GT_CACHE_MB, 1024). The reference re-uploads the
+    ground-truth frame every iteration (train.py:117-125 — cheap over PCIe);
+    on a TPU reached through a network tunnel that per-step H2D transfer
+    (~6 MB at 800x600) dominates the whole iteration, and training revisits
+    each frame every epoch — so frames are pinned in HBM and both the decode
+    and the upload are skipped on every epoch after the first. 0 disables
+    (yields host numpy arrays exactly as before)."""
+
+    def __init__(self, workers: int = 4, lookahead: int = 8, native: bool = True,
+                 device_cache_mb: float | None = None):
         self.pool = ThreadPoolExecutor(max_workers=workers)
         self.lookahead = lookahead
         self.native = None
@@ -170,8 +180,24 @@ class ImagePrefetcher:
                 self.native = NativeImageLoader(workers)
             except Exception:
                 self.native = None
+        if device_cache_mb is None:
+            device_cache_mb = float(os.environ.get("EX4DGS_GT_CACHE_MB", 1024))
+        self._cache_budget = int(device_cache_mb * 1024 * 1024)
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[tuple, object]" = OrderedDict()
+        self._cache_bytes = 0
+
+    @staticmethod
+    def _cache_key(cam: Camera):
+        return (cam.image_path, cam.width, cam.height, cam.im_scale)
 
     def _submit(self, cam: Camera):
+        if self._cache_budget > 0:
+            key = self._cache_key(cam)
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return ("cached", key)
         if self.native is not None and cam.image_path.lower().endswith(".png"):
             ticket = self.native.submit(cam.image_path, cam.width, cam.height,
                                         cam.im_scale)
@@ -180,15 +206,35 @@ class ImagePrefetcher:
             load_image, cam.image_path, (cam.width, cam.height), cam.im_scale
         ))
 
+    def _cache_put(self, cam: Camera, arr):
+        """Move a decoded frame to the device and pin it (LRU by bytes)."""
+        import jax
+
+        dev = jax.device_put(arr)
+        key = self._cache_key(cam)
+        nbytes = int(arr.nbytes)
+        self._cache[key] = dev
+        self._cache_bytes += nbytes
+        while self._cache_bytes > self._cache_budget and len(self._cache) > 1:
+            _, old = self._cache.popitem(last=False)
+            self._cache_bytes -= int(old.nbytes)
+        return dev
+
     def _result(self, handle, cam: Camera):
         kind, h = handle
+        if kind == "cached":
+            return self._cache[h]
         if kind == "native":
             try:
-                return self.native.wait(h)
+                arr = self.native.wait(h)
             except IOError:
-                return load_image(cam.image_path, (cam.width, cam.height),
-                                  cam.im_scale)
-        return h.result()
+                arr = load_image(cam.image_path, (cam.width, cam.height),
+                                 cam.im_scale)
+        else:
+            arr = h.result()
+        if self._cache_budget > 0:
+            return self._cache_put(cam, arr)
+        return arr
 
     def epoch(self, cameras: list[Camera], shuffle: bool = True, rng=None):
         cams = list(cameras)

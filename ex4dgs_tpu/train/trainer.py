@@ -324,7 +324,11 @@ class Trainer:
                 self.last_vis = None  # per-camera visibility folded into stats
             else:
                 self.error_tracker.mark(loss, cam.timestamp)
-                self.last_vis = np.asarray(out.visibility)
+                # kept ON DEVICE: only extraction events read it (_do_extract),
+                # so the [capacity]-sized D2H transfer (~1 MB/iter through the
+                # remote TPU tunnel) happens once per extracton_interval, not
+                # every step
+                self.last_vis = out.visibility
 
             metrics["loss"].append(loss)
             metrics["psnr"].append(float(out.psnr))
@@ -480,7 +484,8 @@ class Trainer:
         print(f"[debug] NaN detected; state dumped to {path}", flush=True)
 
     def _do_extract(self, timestamp: float) -> None:
-        vis = self.last_vis
+        vis = (np.asarray(self.last_vis)
+               if self.last_vis is not None else None)
         loc = np.asarray(self.last_cam.T, np.float32)
         self._host_event(lambda hm: D.extract_dynamic_from_static(
             hm, self.cfg, loc, timestamp,
