@@ -162,7 +162,7 @@ info = SceneInfo(
 scene = Scene(cfg, scene_info=info)
 tr = Trainer(cfg, opt, scene, model=init_model, capacity=CAPACITY,
              max_per_tile=4096, seed=1, backend="pallas",
-             metrics_path="/tmp/q2_metrics.jsonl", log_every=50,
+             metrics_path=f"/tmp/q2_metrics_{TARGET_KIND}.jsonl", log_every=50,
              # held-out PSNR trajectory: localizes any train/test gap in
              # time (SH-degree bumps at 1000/2000/3000 vs densify from 600)
              test_iterations=tuple(range(250, ITERS + 1, 250)))
@@ -171,7 +171,7 @@ tr.train(iterations=ITERS)
 wall = time.time() - t0
 mpix_train = ITERS * W * H / wall / 1e6  # incl. schedule/host events
 
-tr.save("/tmp/q2_model")  # post-mortem: full checkpoint + PLY pair
+tr.save(f"/tmp/q2_model_{TARGET_KIND}")  # post-mortem: full checkpoint + PLY pair
 
 # held-out metrics (production pallas renderer)
 rows = []
@@ -189,7 +189,7 @@ for inf in test_infos:
     })
     print(rows[-1], flush=True)
     Image.fromarray((img * 255).astype(np.uint8)).save(
-        f"/tmp/q2_render_{inf.image_name}")
+        f"/tmp/q2_render_{TARGET_KIND}_{inf.image_name}")
 
 # render-only FPS on the production path (one camera re-rendered; the
 # reference recipe is 20x500 with 100 warmup — use 5x100/50 here to keep the
