@@ -172,3 +172,47 @@ def test_checkpoint_roundtrip(tmp_path):
     # pushes back into a jit-able model
     m2, s2 = push(hm2, cfg)
     assert int(m2.n_static()) == 20
+
+
+def test_prefetcher_device_cache(tmp_path):
+    """Device GT cache: second epoch serves pinned device arrays without
+    decoding; the LRU byte budget evicts oldest frames."""
+    from PIL import Image
+
+    from ex4dgs_tpu.data.cameras import Camera
+    from ex4dgs_tpu.data.scene import ImagePrefetcher
+
+    rng = np.random.default_rng(0)
+    cams = []
+    for i in range(4):
+        arr = rng.integers(0, 255, size=(12, 16, 3)).astype(np.uint8)
+        p = str(tmp_path / f"f{i}.png")
+        Image.fromarray(arr).save(p)
+        cams.append(Camera(
+            colmap_id=i, uid=i, R=np.eye(3), T=np.zeros(3), fovx=1.0,
+            fovy=1.0, image_name=f"f{i}.png", image_path=p, width=16,
+            height=12, near=0.1, far=10.0, timestamp=float(i)))
+
+    pf = ImagePrefetcher(workers=1, lookahead=2, native=False,
+                         device_cache_mb=1.0)
+    first = {c.colmap_id: np.asarray(img) for c, img in pf.epoch(cams, shuffle=False)}
+    assert len(pf._cache) == 4
+    # second epoch: pure cache hits, identical content
+    for cam, img in pf.epoch(cams, shuffle=False):
+        assert ("cached", pf._cache_key(cam)) == pf._submit(cam)
+        np.testing.assert_array_equal(np.asarray(img), first[cam.colmap_id])
+
+    # tiny budget: evicts down to the LRU floor (keeps at least one entry)
+    tiny = ImagePrefetcher(workers=1, lookahead=2, native=False,
+                           device_cache_mb=(12 * 16 * 3 * 4 * 2.5) / 2**20)
+    for _ in tiny.epoch(cams, shuffle=False):
+        pass
+    assert len(tiny._cache) == 2
+    assert tiny._cache_bytes <= tiny._cache_budget
+
+    # disabled cache yields plain host arrays
+    off = ImagePrefetcher(workers=1, lookahead=2, native=False,
+                          device_cache_mb=0)
+    for _, img in off.epoch(cams, shuffle=False):
+        assert isinstance(img, np.ndarray)
+    assert len(off._cache) == 0
