@@ -188,7 +188,9 @@ def main():
         "kernel_config": {
             "tile": f"{_proj.TILE_X}x{_proj.TILE_Y}", "pair": _rp.PAIR,
             "g_chunk": _rp.G_CHUNK, "win_align": _rp.WIN_ALIGN,
-            "bufs": _rp.BUFS,
+            "bufs": _rp.BUFS, "kernel_dot": _rp.KERNEL_DOT,
+            "power": _rp.POWER_IMPL,
+            "scan_dot": os.environ.get("EX4DGS_SCAN_DOT", "split"),
         },
     }))
 

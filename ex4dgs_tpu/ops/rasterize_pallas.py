@@ -85,12 +85,18 @@ def _dot_xsplit(a, b, dims):
     return d(ah) + d(al)
 
 
-def _dot_split(a, b, dims):
+def _dot_split(a, b, dims, three=False):
     """dot_general(a, b) with both operands split: hi*hi + hi*lo + lo*hi
-    (+ lo*lo unless EX4DGS_KERNEL_DOT=split3), 4 MXU passes vs HIGHEST's 6
-    for the same f32-level accuracy. The lo*lo products are ~2^-16 relative
-    — split3 drops that pass (25% fewer MXU issues) and stays inside the
-    3e-5 pallas-vs-oracle tolerance (tests/test_pallas.py)."""
+    (+ lo*lo), 4 MXU passes vs HIGHEST's 6 for the same f32-level accuracy.
+
+    three=True drops the lo*lo pass (its products are ~2^-16 relative) at the
+    one call site where that stays inside the kernel test tolerances — the
+    backward pixel-moment reduction. The forward feature accumulation and the
+    backward feature dot keep 4 passes: measured, 3 passes in the forward
+    accumulation push backward color gradients (via the saved accum feeding
+    the suffix terms) to 5.2e-5 vs the 2e-5 test atol. EX4DGS_KERNEL_DOT:
+    split (default, per-site), split3 (force 3 everywhere), split4 (force 4),
+    highest (6-pass lowering for A/B)."""
     if KERNEL_DOT == "highest":
         return jax.lax.dot_general(a, b, dims,
                                    preferred_element_type=jnp.float32,
@@ -100,7 +106,7 @@ def _dot_split(a, b, dims):
     d = lambda u, v: jax.lax.dot_general(u, v, dims,
                                          preferred_element_type=jnp.float32,
                                          precision=_PREC)
-    if KERNEL_DOT == "split3":
+    if KERNEL_DOT == "split3" or (three and KERNEL_DOT == "split"):
         return d(ah, bh) + (d(ah, bl) + d(al, bh))
     return (d(ah, bh) + d(al, bl)) + (d(ah, bl) + d(al, bh))
 
@@ -791,7 +797,7 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
 
         # pixel-moment reduction: [PAIR, G, 8] (last 2 cols zero padding)
         pm = _dot_split(
-            dl_dpower, moms, (((1,), (1,)), ((0,), (0,))),
+            dl_dpower, moms, (((1,), (1,)), ((0,), (0,))), three=True,
         )
         pmt = jnp.swapaxes(pm, 1, 2)  # [PAIR, 8, G]
         s0 = pmt[:, 0:1, :]
