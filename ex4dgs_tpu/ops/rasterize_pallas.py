@@ -90,11 +90,13 @@ def _dot_split(a, b, dims, three=False):
     (+ lo*lo), 4 MXU passes vs HIGHEST's 6 for the same f32-level accuracy.
 
     three=True drops the lo*lo pass (its products are ~2^-16 relative) at the
-    one call site where that stays inside the kernel test tolerances — the
-    backward pixel-moment reduction. The forward feature accumulation and the
-    backward feature dot keep 4 passes: measured, 3 passes in the forward
-    accumulation push backward color gradients (via the saved accum feeding
-    the suffix terms) to 5.2e-5 vs the 2e-5 test atol. EX4DGS_KERNEL_DOT:
+    call sites where that stays inside the kernel test tolerances — the
+    backward pixel-moment reduction and the backward feature dot. The FORWARD
+    feature accumulation keeps 4 passes: measured, 3 passes there push
+    backward color gradients (via the saved accum feeding the suffix terms)
+    to 5.2e-5 vs the 2e-5 test atol; the kernel suite is green with the two
+    backward sites at 3 (split3-everywhere benches +8.8% but fails that
+    tolerance, so the remaining pass is the price of the gradient contract. EX4DGS_KERNEL_DOT:
     split (default, per-site), split3 (force 3 everywhere), split4 (force 4),
     highest (6-pass lowering for A/B)."""
     if KERNEL_DOT == "highest":
@@ -788,7 +790,7 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
 
         # features: [PAIR, G, N_ACC] = W^T @ g_accum
         dfeat = _dot_split(
-            w, gacc, (((1,), (1,)), ((0,), (0,))),
+            w, gacc, (((1,), (1,)), ((0,), (0,))), three=True,
         )
 
         e_term = expt * dl_dalpha  # [PAIR, N_PIX, G]
