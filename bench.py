@@ -33,10 +33,15 @@ H = int(os.environ.get("BENCH_H", 1014))
 N_STATIC = int(os.environ.get("BENCH_STATIC", 100_000))
 N_DYNAMIC = int(os.environ.get("BENCH_DYNAMIC", 10_000))
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
-REPEATS = int(os.environ.get("BENCH_REPEATS", 2))  # report the best window
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))  # report the best VALID window
 # (a transient TPU-service stall inside one ~1s timing window once produced
 # a 10x-low outlier while the train-step metric measured seconds later was
-# fine; repeated windows make the estimator robust to stalls)
+# fine; and once the service glitched the OTHER way — block_until_ready
+# returned without executing and a 20-iter window "took" 5 ms, i.e. a
+# 5229 Mpix/s reading. Windows implausibly faster than the median are
+# discarded, and the whole measurement re-runs while the result exceeds a
+# physical plausibility ceiling.)
+PLAUSIBLE_MAX_MPIX_S = float(os.environ.get("BENCH_PLAUSIBLE_MAX", 300.0))
 
 _TRANSIENT = (
     "Unable to initialize backend",
@@ -130,14 +135,33 @@ def main():
         g = step(model.params, jnp.asarray(float(i % 5)))
     jax.block_until_ready(g)
 
-    best_dt = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        for i in range(ITERS):
-            g = step(model.params, jnp.asarray(float(i % 5)))
-        jax.block_until_ready(g)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    mpix_s = W * H * ITERS / best_dt / 1e6
+    def measure(tick, out_of):
+        """Best valid window: windows > 5x faster than the median are service
+        glitches (block_until_ready returning without executing), not speed;
+        re-run the whole set while the result is physically implausible."""
+        for _attempt in range(3):
+            dts = []
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                for i in range(ITERS):
+                    o = tick(i)
+                jax.block_until_ready(out_of(o))
+                dts.append(time.perf_counter() - t0)
+            med = sorted(dts)[len(dts) // 2]
+            valid = [d for d in dts if d > med / 5]
+            best = min(valid)
+            rate = W * H * ITERS / best / 1e6
+            if rate <= PLAUSIBLE_MAX_MPIX_S:
+                return rate
+            print(f"# implausible window ({rate:.0f} Mpix/s) — service "
+                  "glitch, re-measuring", flush=True)
+            time.sleep(10)
+        raise RuntimeError(
+            f"bench measurement implausible after retries ({rate:.0f} "
+            "Mpix/s); TPU service UNAVAILABLE-class glitch")
+
+    mpix_s = measure(lambda i: step(model.params, jnp.asarray(float(i % 5))),
+                     lambda o: o)
 
     # --- full train step (render+loss+bwd+RAdam+stat accumulators) ---------
     train_mpix_s = None
@@ -162,14 +186,7 @@ def main():
         jax.block_until_ready(out.loss)
         out = tick(1)
         jax.block_until_ready(out.loss)
-        best_dt = float("inf")
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            for i in range(ITERS):
-                out = tick(i)
-            jax.block_until_ready(out.loss)
-            best_dt = min(best_dt, time.perf_counter() - t0)
-        train_mpix_s = W * H * ITERS / best_dt / 1e6
+        train_mpix_s = measure(tick, lambda o: o.loss)
 
     from ex4dgs_tpu.ops import projection as _proj
     from ex4dgs_tpu.ops import rasterize_pallas as _rp
