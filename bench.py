@@ -188,6 +188,15 @@ def main():
         jax.block_until_ready(out.loss)
         train_mpix_s = measure(tick, lambda o: o.loss)
 
+    # --- render-only (the reference's FPS recipe shape, render.py:91-96) ---
+    rfn = jax.jit(lambda t: render(
+        cam, model, cfg, t=t, bg=jnp.zeros(3), capacity=capacity,
+        max_per_tile=max_per_tile, chunk=256).render)
+    jax.block_until_ready(rfn(jnp.asarray(1.0)))
+    jax.block_until_ready(rfn(jnp.asarray(2.0)))
+    render_mpix_s = measure(lambda i: rfn(jnp.asarray(float(i % 5))),
+                            lambda o: o)
+
     from ex4dgs_tpu.ops import projection as _proj
     from ex4dgs_tpu.ops import rasterize_pallas as _rp
 
@@ -199,6 +208,7 @@ def main():
         "train_step_mpix_s": (
             round(train_mpix_s, 3) if train_mpix_s is not None else None
         ),
+        "render_mpix_s": round(render_mpix_s, 3),
         "instances": total,
         "capacity": capacity,
         "resolution": [W, H],
