@@ -1117,12 +1117,9 @@ def rasterize_tiled_pallas(
     depth = jnp.where(has, accum[..., 3] / denom, max_depth)
     flow_img = jnp.where(has[..., None], accum[..., 4:7] / denom[..., None], 0.0)
 
-    def timg(arr):  # [T, N_PIX, ...] -> [H, W, ...]
-        ch = arr.shape[2:]
-        img = arr.reshape(grid_y, grid_x, TILE_Y, TILE_X, *ch)
-        img = jnp.moveaxis(img, 2, 1).reshape(
-            grid_y * TILE_Y, grid_x * TILE_X, *ch)
-        return img[:height, :width]
+    def timg(arr):  # [T, N_PIX, ...] -> [H, W, ...] (lane-aligned assembly)
+        return comp.tiles_to_image(arr, grid_y, grid_x, TILE_Y, TILE_X,
+                                   height, width)
 
     return comp.RenderOutputs(
         color=timg(color),

@@ -175,11 +175,8 @@ def rasterize_tiled(
     out = comp.finalize(carry, bg, max_depth)
 
     def to_image(arr):
-        ch = arr.shape[2:]
-        img = arr.reshape(grid_y, grid_x, TILE_Y, TILE_X, *ch)
-        img = jnp.moveaxis(img, 2, 1).reshape(
-            grid_y * TILE_Y, grid_x * TILE_X, *ch)
-        return img[:height, :width]
+        return comp.tiles_to_image(arr, grid_y, grid_x, TILE_Y, TILE_X,
+                                   height, width)
 
     return comp.RenderOutputs(
         color=to_image(out.color),

@@ -323,12 +323,10 @@ def composite_projected_sharded(
     total_eff = axis_size * jax.lax.pmax(binning.total, axis_name)
 
     def timg(arr):
-        arr = arr[:num_tiles]
-        ch = arr.shape[2:]
-        img = arr.reshape(grid_y, grid_x, TILE_Y, TILE_X, *ch)
-        img = jnp.moveaxis(img, 2, 1).reshape(
-            grid_y * TILE_Y, grid_x * TILE_X, *ch)
-        return img[: cam.height, : cam.width]
+        from .ops import compositing as _comp
+
+        return _comp.tiles_to_image(arr[:num_tiles], grid_y, grid_x,
+                                    TILE_Y, TILE_X, cam.height, cam.width)
 
     return RenderResult(
         render=timg(gathered.color),

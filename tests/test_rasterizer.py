@@ -331,3 +331,27 @@ def test_tight_rect_lossless(setup):
     assert (dc < 1e-6).mean() == 1.0
     assert dc.max() < 1e-5
     assert da.max() < 1e-5
+
+
+def test_tiles_to_image_lane_aligned_exact():
+    """The channel-padded (lane-aligned) assembly path is exactly the naive
+    reshape/moveaxis, for every channel rank it dispatches on."""
+    import numpy as np
+
+    from ex4dgs_tpu.ops.compositing import tiles_to_image
+
+    rng = np.random.default_rng(0)
+    gy, gx, ty, tx = 3, 5, 16, 32
+    h, w = gy * ty - 7, gx * tx - 13
+
+    def naive(arr, ch):
+        img = np.asarray(arr).reshape(gy, gx, ty, tx, *ch)
+        img = np.moveaxis(img, 2, 1).reshape(gy * ty, gx * tx, *ch)
+        return img[:h, :w]
+
+    for ch, dtype in (((3,), np.float32), ((1,), np.float32),
+                      ((2,), np.int32), ((), np.float32)):
+        arr = rng.normal(size=(gy * gx, ty * tx, *ch))
+        arr = (arr * 100).astype(dtype)
+        out = tiles_to_image(jnp.asarray(arr), gy, gx, ty, tx, h, w)
+        np.testing.assert_array_equal(np.asarray(out), naive(arr, ch))
