@@ -165,9 +165,12 @@ def tiles_to_image(arr: jnp.ndarray, grid_y: int, grid_x: int,
     multiple of 128 costs at most 2x the bytes (color: 3 -> 4, +33%), the
     padded transpose moves whole 128-lane tiles instead. Exact: padding is
     dropped by the final channel slice."""
+    import os
+
     ch = arr.shape[2:]
-    img2 = None
-    if len(ch) == 1 and arr.dtype.itemsize == 4 and tile_x <= 128 and 128 % tile_x == 0:
+    aligned = os.environ.get("EX4DGS_UNTILE", "aligned") == "aligned"
+    if (aligned and len(ch) == 1 and arr.dtype.itemsize == 4
+            and tile_x <= 128 and 128 % tile_x == 0):
         c = ch[0]
         step = 128 // tile_x
         cpad = -(-c // step) * step
