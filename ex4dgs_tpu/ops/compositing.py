@@ -159,16 +159,16 @@ def tiles_to_image(arr: jnp.ndarray, grid_y: int, grid_x: int,
 
     The assembly is a (grid_x, tile_y) transpose whose minor dimension is
     tile_x*C lanes. For color (C=3, 32-wide tiles: 96 lanes) that is
-    lane-tile-misaligned and XLA's relayout runs shuffle-bound — measured
-    ~4 ms fwd+bwd per frame at 1352x1014, pure overhead over the tiled loss.
-    When padding the channel dim to the next multiple that makes tile_x*C a
-    multiple of 128 costs at most 2x the bytes (color: 3 -> 4, +33%), the
-    padded transpose moves whole 128-lane tiles instead. Exact: padding is
-    dropped by the final channel slice."""
+    lane-tile-misaligned; EX4DGS_UNTILE=aligned pads the channel dim so the
+    transpose moves whole 128-lane tiles (exact — padding dropped by the
+    final slice). Measured end-to-end A/B at 1352x1014 / 730k instances
+    (_r4b_chain7.log): aligned 15.97 Mpix/s fwd+bwd vs naive 16.82 — the
+    +33% padded bytes through fwd AND bwd cost more than the shuffle they
+    save, so naive is the default."""
     import os
 
     ch = arr.shape[2:]
-    aligned = os.environ.get("EX4DGS_UNTILE", "aligned") == "aligned"
+    aligned = os.environ.get("EX4DGS_UNTILE", "naive") == "aligned"
     if (aligned and len(ch) == 1 and arr.dtype.itemsize == 4
             and tile_x <= 128 and 128 % tile_x == 0):
         c = ch[0]
