@@ -271,7 +271,8 @@ def test_pallas_backward_long_lists_window_phases():
                                    err_msg=name)
 
 
-@pytest.mark.parametrize("tile", [(32, 16), (16, 32)])
+@pytest.mark.parametrize("tile", [(32, 16), (16, 32), (48, 16), (64, 16),
+                                  (32, 32)])
 def test_pallas_wide_tile_shapes_match_jnp(tile):
     """Non-default tile shapes (KernelConfig tile_x/tile_y, pair=1 — the
     perf-roadmap configs) through forward AND backward vs the oracle. The
