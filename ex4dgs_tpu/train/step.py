@@ -57,15 +57,20 @@ class StepStatics:
 
 
 class StepOutputs(NamedTuple):
+    # NOTE: the rendered image and radii are deliberately NOT outputs — no
+    # caller consumed them, and materializing the untiled HWC image as a
+    # graph output costs ~6 ms/step at 1352x1014 (it otherwise fuses into
+    # the loss reads; measured in tools/tpu_probes/_tpu_stepover.py:
+    # d 88.8 ms -> e 95.1 ms was ENTIRELY output materialization). Render
+    # on demand for viewers/debug (render-only path is ~2.3x faster than
+    # the step anyway).
     model: GaussianModel
     opt_state: RAdamState
     loss: jnp.ndarray
     ll1: jnp.ndarray
     psnr: jnp.ndarray
-    radii: jnp.ndarray
     visibility: jnp.ndarray
     binning_total: jnp.ndarray
-    image: jnp.ndarray
 
 
 def _safe_norm(x, axis=-1):
@@ -260,8 +265,6 @@ def train_step(
         loss=loss,
         ll1=ll1,
         psnr=psnr(res.render, gt),
-        radii=res.radii,
         visibility=res.visibility_filter,
         binning_total=res.binning_total,
-        image=res.render,
     )
