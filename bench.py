@@ -119,7 +119,12 @@ def main():
     capacity = min(capacity, round_capacity(total * 5 // 4, 65536))
     print(f"# instances per frame: {total} (capacity {capacity})")
 
-    def loss_fn(params, t):
+    # gt is a jit ARGUMENT, not a closure constant: a constant gt lets XLA
+    # fold blur(gt)/blur(gt^2) (and with gt=0 the whole covariance term) out
+    # of the SSIM — ~6 ms/step of real training work the metric must include
+    # (found via tools/tpu_probes/_tpu_stepover.py: the "train_step overhead"
+    # was mostly this folding, not step machinery).
+    def loss_fn(params, t, gt):
         m = model._replace(params=params)
         res = render(cam, m, cfg, t=t, bg=jnp.zeros(3), capacity=capacity,
                      max_per_tile=max_per_tile, chunk=256)
@@ -129,10 +134,10 @@ def main():
     step = jax.jit(jax.grad(loss_fn))
 
     # compile + warmup
-    g = step(model.params, jnp.asarray(1.0))
+    g = step(model.params, jnp.asarray(1.0), gt)
     jax.block_until_ready(g)
     for i in range(2):
-        g = step(model.params, jnp.asarray(float(i % 5)))
+        g = step(model.params, jnp.asarray(float(i % 5)), gt)
     jax.block_until_ready(g)
 
     def measure(tick, out_of):
@@ -160,7 +165,7 @@ def main():
             f"bench measurement implausible after retries ({rate:.0f} "
             "Mpix/s); TPU service UNAVAILABLE-class glitch")
 
-    mpix_s = measure(lambda i: step(model.params, jnp.asarray(float(i % 5))),
+    mpix_s = measure(lambda i: step(model.params, jnp.asarray(float(i % 5)), gt),
                      lambda o: o)
 
     # --- full train step (render+loss+bwd+RAdam+stat accumulators) ---------
