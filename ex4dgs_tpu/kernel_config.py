@@ -31,6 +31,7 @@ _ENV = {
     "tile": "EX4DGS_TILE", "pair": "EX4DGS_PAIR", "g_chunk": "EX4DGS_GCHUNK",
     "win_align": "EX4DGS_ALIGN", "bufs": "EX4DGS_BUFS",
     "exact_sort": "EX4DGS_EXACT_SORT", "pair_fwd": "EX4DGS_PAIR_FWD",
+    "tight_cull": "EX4DGS_TIGHT_CULL",
 }
 
 # Empirical scoped-VMEM budget for the backward kernel's live set, in
@@ -67,6 +68,13 @@ class KernelConfig:
     # 2-key (tile, float-depth) sort (rasterizer_impl.cu:110-114's 64-bit
     # key). See ops/binning.py.
     exact_sort: bool = False
+    # Tight corner-tile culling: drop instances whose Gaussian provably
+    # contributes below the 1/255 alpha floor EVERYWHERE in their tile (the
+    # bounding rect's corner tiles often miss the +-3 sigma ellipse). Exact
+    # w.r.t. compositing semantics: a conservative continuous-box bound on
+    # max alpha, with a 1 px margin covering the integer-pixel-grid and
+    # subpixel-AA conventions. See ops/binning.py.
+    tight_cull: bool = False
 
     @property
     def n_pix(self) -> int:
@@ -124,7 +132,8 @@ class KernelConfig:
     @staticmethod
     def from_dict(d: dict) -> "KernelConfig":
         return KernelConfig(**{
-            k: bool(v) if k == "exact_sort" else int(v) for k, v in d.items()
+            k: bool(v) if k in ("exact_sort", "tight_cull") else int(v)
+            for k, v in d.items()
         }).validate()
 
     @staticmethod
@@ -139,6 +148,7 @@ class KernelConfig:
             bufs=int(os.environ.get(_ENV["bufs"], "2")),
             exact_sort=os.environ.get(_ENV["exact_sort"], "0") == "1",
             pair_fwd=int(os.environ.get(_ENV["pair_fwd"], "0")),
+            tight_cull=os.environ.get(_ENV["tight_cull"], "0") == "1",
         ).validate()
 
 
@@ -152,6 +162,7 @@ def _exports(cfg: KernelConfig) -> dict:
         "TILE_X": cfg.tile_x, "TILE_Y": cfg.tile_y, "N_PIX": cfg.n_pix,
         "PAIR": cfg.pair, "PAIR_F": cfg.pair_f, "G_CHUNK": cfg.g_chunk,
         "WIN_ALIGN": cfg.win_align, "BUFS": cfg.bufs,
+        "TIGHT_CULL": cfg.tight_cull,
     }
 
 

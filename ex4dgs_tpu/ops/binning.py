@@ -30,8 +30,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..kernel_config import current as _kernel_config
+from . import projection as _P
+from .compositing import ALPHA_MIN
 from .projection import Projected
 from .scan_ops import blocked_cummax, blocked_cumsum
+
+# Rebindable (kernel_config.configure()): tight corner-tile culling toggle.
+TIGHT_CULL = _kernel_config().tight_cull
 
 
 class Binning(NamedTuple):
@@ -103,7 +109,9 @@ def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int,
     runstart = blocked_cummax(jnp.where(marks > 0, slots, -1))
     local = slots - runstart
     # One row-gather for the remaining per-Gaussian data, bit-packed to two
-    # int32 columns: rect (x | y<<10 | w<<20) and float-depth bits.
+    # int32 columns: rect (x | y<<10 | w<<20) and float-depth bits. With
+    # tight culling, six more columns (mean, conic, opacity — float bits in
+    # the same int32 gather) feed the per-instance ellipse/tile-box test.
     assert grid_x <= 1024 and grid_y <= 1024, "rect pack assumes <=1024 tiles/axis"
     rect_w = jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1)
     if slab:
@@ -114,11 +122,18 @@ def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int,
     packed_rect = (
         proj.rect_min[:, 0] | (rect_y << 10) | (rect_w << 20)
     )
-    cols = jnp.stack(
-        [packed_rect, jax.lax.bitcast_convert_type(proj.depth, jnp.int32)],
-        axis=1,
-    )
-    g = jnp.take(cols, gauss_c, axis=0)  # [capacity, 2]
+    tight = TIGHT_CULL
+    fbits = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    col_list = [packed_rect, fbits(proj.depth)]
+    if tight:
+        col_list += [
+            fbits(proj.xy[:, 0]), fbits(proj.xy[:, 1]),
+            fbits(proj.conic[:, 0]), fbits(proj.conic[:, 1]),
+            fbits(proj.conic[:, 2]),
+            fbits(proj.opacity * proj.valid),
+        ]
+    cols = jnp.stack(col_list, axis=1)
+    g = jnp.take(cols, gauss_c, axis=0)  # [capacity, 2 or 8]
     pk = g[:, 0]
     rx = pk & 1023
     ry = (pk >> 10) & 1023
@@ -132,6 +147,54 @@ def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int,
     ).astype(jnp.int32)
     dx = local - dy * rw
     tile = (ry + dy) * grid_x + (rx + dx)
+    if tight:
+        # Tight corner-tile culling. The rect is the ellipse's bounding box,
+        # so its corner tiles often miss the +-3 sigma ellipse entirely. An
+        # instance is EXACTLY removable when max alpha over the whole tile is
+        # below the compositing floor: compositing.py:79 skips any sample
+        # with alpha < ALPHA_MIN, so a tile where the bound already proves
+        # alpha < ALPHA_MIN everywhere contributes nothing to color, depth,
+        # flow, acc, transmittance, best-idx, or any gradient. The bound is
+        # the continuous minimum of the conic quadratic over the tile's pixel
+        # box, enlarged by a 1 px margin (pixel samples sit on the integer
+        # grid, _local_pixels; subpixel AA shifts them < 1 px). The min of a
+        # PSD quadratic over a box is 0 if the center is inside, else it lies
+        # on the boundary: per edge, the free coordinate minimizes at the
+        # clamped unconstrained optimum.
+        fval = lambda c: jax.lax.bitcast_convert_type(c, jnp.float32)
+        mx, my = fval(g[:, 2]), fval(g[:, 3])
+        ca, cb, cc = fval(g[:, 4]), fval(g[:, 5]), fval(g[:, 6])
+        op = fval(g[:, 7])
+        tx_pix = float(_P.TILE_X)
+        ty_pix = float(_P.TILE_Y)
+        margin = 1.0
+        row_g = ry + dy + (row0 if slab else 0)  # global tile row
+        u0 = (rx + dx).astype(jnp.float32) * tx_pix - margin - mx
+        u1 = u0 + (tx_pix + 2.0 * margin)
+        v0 = row_g.astype(jnp.float32) * ty_pix - margin - my
+        v1 = v0 + (ty_pix + 2.0 * margin)
+        inside = (u0 <= 0) & (u1 >= 0) & (v0 <= 0) & (v1 >= 0)
+        ca_s = jnp.maximum(ca, 1e-12)
+        cc_s = jnp.maximum(cc, 1e-12)
+
+        def q_ufix(u):
+            v = jnp.clip(-cb * u / cc_s, v0, v1)
+            return ca * u * u + 2.0 * cb * u * v + cc * v * v
+
+        def q_vfix(v):
+            u = jnp.clip(-cb * v / ca_s, u0, u1)
+            return ca * u * u + 2.0 * cb * u * v + cc * v * v
+
+        qmin = jnp.minimum(
+            jnp.minimum(q_ufix(u0), q_ufix(u1)),
+            jnp.minimum(q_vfix(v0), q_vfix(v1)),
+        )
+        qmin = jnp.where(inside, 0.0, jnp.maximum(qmin, 0.0))
+        bound = op * jnp.exp(-0.5 * qmin)
+        # strict margin keeps the cull conservative under fp rounding; a NaN
+        # bound compares False and is kept (the trainer's NaN scrub owns it)
+        cull = bound < ALPHA_MIN * (1.0 - 1e-5)
+        tile = jnp.where(cull, num_tiles, tile)
     tile = jnp.where(slots < total, tile, num_tiles)  # sentinel sorts to the end
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
