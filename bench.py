@@ -202,8 +202,7 @@ def main():
     render_mpix_s = measure(lambda i: rfn(jnp.asarray(float(i % 5))),
                             lambda o: o)
 
-    from ex4dgs_tpu.ops import projection as _proj
-    from ex4dgs_tpu.ops import rasterize_pallas as _rp
+    from ex4dgs_tpu.kernel_config import current as _kc
 
     print(json.dumps({
         "metric": "rasterizer_fwd_bwd_throughput",
@@ -217,13 +216,7 @@ def main():
         "instances": total,
         "capacity": capacity,
         "resolution": [W, H],
-        "kernel_config": {
-            "tile": f"{_proj.TILE_X}x{_proj.TILE_Y}", "pair": _rp.PAIR,
-            "g_chunk": _rp.G_CHUNK, "win_align": _rp.WIN_ALIGN,
-            "bufs": _rp.BUFS, "kernel_dot": _rp.KERNEL_DOT,
-            "power": _rp.POWER_IMPL,
-            "scan_dot": os.environ.get("EX4DGS_SCAN_DOT", "split"),
-        },
+        "kernel_config": _kc().as_dict(),
     }))
 
 

@@ -213,6 +213,11 @@ class ImagePrefetcher:
         dev = jax.device_put(arr)
         key = self._cache_key(cam)
         nbytes = int(arr.nbytes)
+        old = self._cache.get(key)
+        if old is not None:
+            # overwrite (duplicate cameras sharing image_path within the
+            # lookahead window): replace without double-counting bytes
+            self._cache_bytes -= int(old.nbytes)
         self._cache[key] = dev
         self._cache_bytes += nbytes
         while self._cache_bytes > self._cache_budget and len(self._cache) > 1:
@@ -223,7 +228,16 @@ class ImagePrefetcher:
     def _result(self, handle, cam: Camera):
         kind, h = handle
         if kind == "cached":
-            return self._cache[h]
+            hit = self._cache.get(h)
+            if hit is not None:
+                return hit
+            # The ticket outlived its entry: up to `lookahead` 'cached'
+            # tickets can be outstanding while interleaved _cache_put
+            # evictions (budget < ~lookahead+1 frames) pop the key. Degrade
+            # to a decode instead of crashing the epoch.
+            arr = load_image(cam.image_path, (cam.width, cam.height),
+                             cam.im_scale)
+            return self._cache_put(cam, arr)
         if kind == "native":
             try:
                 arr = self.native.wait(h)

@@ -32,6 +32,28 @@ _ENV = {
     "win_align": "EX4DGS_ALIGN", "bufs": "EX4DGS_BUFS",
     "exact_sort": "EX4DGS_EXACT_SORT", "pair_fwd": "EX4DGS_PAIR_FWD",
     "tight_cull": "EX4DGS_TIGHT_CULL",
+    "kernel_dot": "EX4DGS_KERNEL_DOT", "power": "EX4DGS_POWER",
+    "pack_vjp": "EX4DGS_PACK_VJP", "ssim_blur": "EX4DGS_SSIM_BLUR",
+    "scan_dot": "EX4DGS_SCAN_DOT", "untile": "EX4DGS_UNTILE",
+}
+
+# Allowed values for the string-valued numeric-strategy knobs (VERDICT r4 #6:
+# these were loose import-time env vars; now validated, checkpoint-recorded,
+# env-as-override like the structural knobs).
+_CHOICES = {
+    # in-kernel dot_general strategy: per-site operand split (default),
+    # forced 3-pass, forced 4-pass, or Mosaic's 6-pass HIGHEST lowering (A/B)
+    "kernel_dot": ("split", "split3", "split4", "highest"),
+    # power evaluation: direct VPU quadratic form vs pixel-moment MXU matmul
+    "power": ("direct", "mxu"),
+    # pack-gather VJP: prefix-difference segment reduction vs XLA scatter-add
+    "pack_vjp": ("segment", "scatter"),
+    # SSIM separable blur: exact-f32 sublane shift-adds vs HIGHEST band-matmul
+    "ssim_blur": ("shifts", "matmul"),
+    # blocked-cumsum triangular dot: one-sided operand split vs HIGHEST
+    "scan_dot": ("split", "highest"),
+    # tile->image assembly layout (aligned measured slower — BASELINE.md r4b)
+    "untile": ("naive", "aligned"),
 }
 
 # Empirical scoped-VMEM budget for the backward kernel's live set, in
@@ -71,10 +93,19 @@ class KernelConfig:
     # Tight corner-tile culling: drop instances whose Gaussian provably
     # contributes below the 1/255 alpha floor EVERYWHERE in their tile (the
     # bounding rect's corner tiles often miss the +-3 sigma ellipse). Exact
-    # w.r.t. compositing semantics: a conservative continuous-box bound on
-    # max alpha, with a 1 px margin covering the integer-pixel-grid and
-    # subpixel-AA conventions. See ops/binning.py.
+    # up to kernel rounding (1e-3 relative alpha margin covers the split-dot
+    # power's fp error): a conservative continuous-box bound on max alpha,
+    # with a 1 px margin covering the integer-pixel-grid and subpixel-AA
+    # conventions. See ops/binning.py.
     tight_cull: bool = False
+    # Numeric-strategy knobs (string-valued; allowed values in _CHOICES,
+    # rationale at the consuming site):
+    kernel_dot: str = "split"      # ops/rasterize_pallas.py::_dot_split
+    power: str = "direct"          # ops/rasterize_pallas.py::_power_eval
+    pack_vjp: str = "segment"      # ops/rasterize_pallas.py::_gather_rows_t
+    ssim_blur: str = "shifts"      # ops/losses.py::_depthwise_blur
+    scan_dot: str = "split"        # ops/scan_ops.py::_tri_dot
+    untile: str = "naive"          # ops/compositing.py::tiles_to_image
 
     @property
     def n_pix(self) -> int:
@@ -113,6 +144,9 @@ class KernelConfig:
             )
         if self.pair_fwd < 0:
             fail("pair_fwd must be >= 0 (0 = same as pair)")
+        for knob, allowed in _CHOICES.items():
+            if getattr(self, knob) not in allowed:
+                fail(f"{knob} must be one of {allowed}")
         # The forward's live set is roughly half the backward's (no gradient
         # write buffers / prefix accumulators), so it fits ~2x the panes.
         if self.pair_f * self.n_pix * self.g_chunk > 2 * _VMEM_UNITS:
@@ -131,15 +165,22 @@ class KernelConfig:
 
     @staticmethod
     def from_dict(d: dict) -> "KernelConfig":
-        return KernelConfig(**{
-            k: bool(v) if k in ("exact_sort", "tight_cull") else int(v)
-            for k, v in d.items()
-        }).validate()
+        def coerce(k, v):
+            if k in ("exact_sort", "tight_cull"):
+                return bool(v)
+            if k in _CHOICES:
+                return str(v)
+            return int(v)
+
+        return KernelConfig(
+            **{k: coerce(k, v) for k, v in d.items()}
+        ).validate()
 
     @staticmethod
     def from_env() -> "KernelConfig":
         tx, ty = (int(v) for v in
                   os.environ.get(_ENV["tile"], "32x16").lower().split("x"))
+        base = KernelConfig()
         return KernelConfig(
             tile_x=tx, tile_y=ty,
             pair=int(os.environ.get(_ENV["pair"], "1")),
@@ -149,6 +190,8 @@ class KernelConfig:
             exact_sort=os.environ.get(_ENV["exact_sort"], "0") == "1",
             pair_fwd=int(os.environ.get(_ENV["pair_fwd"], "0")),
             tight_cull=os.environ.get(_ENV["tight_cull"], "0") == "1",
+            **{k: os.environ.get(_ENV[k], getattr(base, k))
+               for k in _CHOICES},
         ).validate()
 
 
@@ -163,6 +206,9 @@ def _exports(cfg: KernelConfig) -> dict:
         "PAIR": cfg.pair, "PAIR_F": cfg.pair_f, "G_CHUNK": cfg.g_chunk,
         "WIN_ALIGN": cfg.win_align, "BUFS": cfg.bufs,
         "TIGHT_CULL": cfg.tight_cull,
+        "KERNEL_DOT": cfg.kernel_dot, "POWER_IMPL": cfg.power,
+        "PACK_VJP": cfg.pack_vjp, "SSIM_BLUR": cfg.ssim_blur,
+        "SCAN_DOT": cfg.scan_dot, "UNTILE": cfg.untile,
     }
 
 

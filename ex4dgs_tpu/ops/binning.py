@@ -191,9 +191,13 @@ def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int,
         )
         qmin = jnp.where(inside, 0.0, jnp.maximum(qmin, 0.0))
         bound = op * jnp.exp(-0.5 * qmin)
-        # strict margin keeps the cull conservative under fp rounding; a NaN
-        # bound compares False and is kept (the trainer's NaN scrub owns it)
-        cull = bound < ALPHA_MIN * (1.0 - 1e-5)
+        # The margin must cover the Pallas kernel's own alpha rounding: the
+        # split-dot power carries ~1.6e-5 relative error, ~1e-4 relative on
+        # alpha near the 1/255 floor (ADVICE r4). 1e-3 relative is >10x that
+        # with negligible cull-rate cost — the cull is exact up to kernel
+        # rounding, not bit-exact. A NaN bound compares False and is kept
+        # (the trainer's NaN scrub owns it).
+        cull = bound < ALPHA_MIN * (1.0 - 1e-3)
         tile = jnp.where(cull, num_tiles, tile)
     tile = jnp.where(slots < total, tile, num_tiles)  # sentinel sorts to the end
 

@@ -29,6 +29,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..kernel_config import current as _kernel_config
+
+# Rebindable (kernel_config.configure()): tile->image assembly layout.
+UNTILE = _kernel_config().untile
+
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
@@ -159,16 +164,14 @@ def tiles_to_image(arr: jnp.ndarray, grid_y: int, grid_x: int,
 
     The assembly is a (grid_x, tile_y) transpose whose minor dimension is
     tile_x*C lanes. For color (C=3, 32-wide tiles: 96 lanes) that is
-    lane-tile-misaligned; EX4DGS_UNTILE=aligned pads the channel dim so the
-    transpose moves whole 128-lane tiles (exact — padding dropped by the
-    final slice). Measured end-to-end A/B at 1352x1014 / 730k instances
-    (_r4b_chain7.log): aligned 15.97 Mpix/s fwd+bwd vs naive 16.82 — the
-    +33% padded bytes through fwd AND bwd cost more than the shuffle they
-    save, so naive is the default."""
-    import os
-
+    lane-tile-misaligned; KernelConfig(untile="aligned") (EX4DGS_UNTILE
+    override) pads the channel dim so the transpose moves whole 128-lane
+    tiles (exact — padding dropped by the final slice). Measured end-to-end
+    A/B at 1352x1014 / 730k instances (_r4b_chain7.log): aligned 15.97
+    Mpix/s fwd+bwd vs naive 16.82 — the +33% padded bytes through fwd AND
+    bwd cost more than the shuffle they save, so naive is the default."""
     ch = arr.shape[2:]
-    aligned = os.environ.get("EX4DGS_UNTILE", "naive") == "aligned"
+    aligned = UNTILE == "aligned"
     if (aligned and len(ch) == 1 and arr.dtype.itemsize == 4
             and tile_x <= 128 and 128 % tile_x == 0):
         c = ch[0]

@@ -115,13 +115,14 @@ def _depthwise_blur_matmul(img: jnp.ndarray, window_size: int, sigma: float) -> 
     return x.reshape(h, c, w).transpose(0, 2, 1)
 
 
-import os as _os
+from ..kernel_config import current as _kernel_config
 
-_BLUR_IMPL = _os.environ.get("EX4DGS_SSIM_BLUR", "shifts")
+# Rebindable (kernel_config.configure()): EX4DGS_SSIM_BLUR override.
+SSIM_BLUR = _kernel_config().ssim_blur
 
 
 def _depthwise_blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
-    if _BLUR_IMPL == "matmul":
+    if SSIM_BLUR == "matmul":
         return _depthwise_blur_matmul(img, window_size, sigma)
     return _depthwise_blur_shifts(img, window_size, sigma)
 

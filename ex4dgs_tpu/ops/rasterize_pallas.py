@@ -56,13 +56,13 @@ N_ACC = 8  # accum channels: r g b depth fx fy fz acc
 # ~23 ms/step to the 6-pass dots. These helpers hand-roll operand splitting:
 # x = hi + lo with hi = f32(bf16(x)), giving ~2^-16 relative operand error in
 # 2 passes (one exact operand) or 3 passes (both split) of DEFAULT-precision
-# MXU matmuls. EX4DGS_KERNEL_DOT=highest restores the 6-pass dots for A/B.
-import os as _os
-
-KERNEL_DOT = _os.environ.get("EX4DGS_KERNEL_DOT", "split")
+# MXU matmuls. KernelConfig(kernel_dot="highest") (EX4DGS_KERNEL_DOT override)
+# restores the 6-pass dots for A/B.
+KERNEL_DOT = _kernel_config().kernel_dot
 # power evaluation: "direct" = the oracle's quadratic form on the VPU (exact
 # f32, no MXU pass); "mxu" = pixel-moment polynomial matmul (split dots).
-POWER_IMPL = _os.environ.get("EX4DGS_POWER", "direct")
+# KernelConfig(power=...), EX4DGS_POWER override.
+POWER_IMPL = _kernel_config().power
 _PREC = (jax.lax.Precision.DEFAULT, jax.lax.Precision.DEFAULT)
 
 
@@ -121,7 +121,8 @@ def _dot_split(a, b, dims, three=False):
 # matmul_block_cumsum — no physical transposes). "scatter": deterministic XLA
 # scatter-add of the [capacity, 16] cotangent rows at ~capacity random
 # indices. Both are deterministic; see _tpu_packvjp.py for the measurement.
-PACK_VJP = "segment"
+# KernelConfig(pack_vjp=...), EX4DGS_PACK_VJP override.
+PACK_VJP = _kernel_config().pack_vjp
 
 
 @jax.custom_vjp

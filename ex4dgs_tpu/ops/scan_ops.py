@@ -12,23 +12,24 @@ and only the tiny [cols] carry array needs a lane-direction scan.
 """
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
+
+from ..kernel_config import current as _kernel_config
 
 # The package pins jax_default_matmul_precision=highest (f32 semantics on the
 # MXU — see ex4dgs_tpu/__init__.py), which XLA emulates as SIX bf16 passes per
 # matmul. The block-cumsum operator below is a 0/1 lower-triangular matrix —
 # EXACT in bf16 — so splitting only the data operand (x = hi + lo with
 # hi = f32(bf16(x))) reaches ~2^-16 relative operand accuracy in TWO
-# DEFAULT-precision passes. EX4DGS_SCAN_DOT=highest restores the 6-pass form.
-_SCAN_DOT = os.environ.get("EX4DGS_SCAN_DOT", "split")
+# DEFAULT-precision passes. KernelConfig(scan_dot="highest")
+# (EX4DGS_SCAN_DOT override) restores the 6-pass form.
+SCAN_DOT = _kernel_config().scan_dot
 
 
 def _tri_dot(lower: jnp.ndarray, x3: jnp.ndarray) -> jnp.ndarray:
     """einsum('ij,bjk->bik', lower, x3) where `lower` is 0/1 (bf16-exact)."""
-    if _SCAN_DOT == "highest" or x3.dtype != jnp.float32:
+    if SCAN_DOT == "highest" or x3.dtype != jnp.float32:
         return jnp.einsum("ij,bjk->bik", lower, x3,
                           preferred_element_type=x3.dtype,
                           precision=jax.lax.Precision.HIGHEST)

@@ -42,6 +42,7 @@ class ShardedStepOutputs(NamedTuple):
     loss: jnp.ndarray  # [] mean over data shards
     psnr: jnp.ndarray
     binning_total: jnp.ndarray  # [] int32 max true instance count over shards
+    nan_flag: jnp.ndarray  # [] bool — see train/step.py StepOutputs.nan_flag
 
 
 def _sliced_loss(params, mean2d_offset, flow_dirs, model, cam: RenderCamera,
@@ -192,12 +193,17 @@ def make_sharded_train_step(statics: StepStatics, mesh: Mesh):
         sel = lambda new, old: jax.tree.map(
             lambda a, b: jnp.where(ok, a, b), new, old
         )
+        out_model = sel(model, old_model)
+        nan_flag = jnp.isnan(out_model.params["xyz"]).any()
+        if old_model.dynamic_capacity:
+            nan_flag |= jnp.isnan(out_model.params["motion_xyz"]).any()
         return ShardedStepOutputs(
-            model=sel(model, old_model),
+            model=out_model,
             opt_state=sel(new_opt_state, old_opt_state),
             loss=loss_mean,
             psnr=psnr_mean,
             binning_total=binning_total,
+            nan_flag=nan_flag,
         )
 
     replicated = P()

@@ -71,6 +71,12 @@ class StepOutputs(NamedTuple):
     psnr: jnp.ndarray
     visibility: jnp.ndarray
     binning_total: jnp.ndarray
+    # NaN watchdog folded into the step graph: checking on host
+    # (isnan(params).any() + a blocking bool download EVERY iteration,
+    # trainer.py round-4) cost a full dispatch+sync round trip per step
+    # through the remote TPU tunnel. As a step output it rides the same
+    # device->host sync the trainer already pays for loss/binning_total.
+    nan_flag: jnp.ndarray
 
 
 def _safe_norm(x, axis=-1):
@@ -259,6 +265,10 @@ def train_step(
     out_model = sel(new_model, model)
     out_opt_state = sel(new_opt_state, opt_state)
 
+    nan_flag = jnp.isnan(out_model.params["xyz"]).any()
+    if model.dynamic_capacity:
+        nan_flag |= jnp.isnan(out_model.params["motion_xyz"]).any()
+
     return StepOutputs(
         model=out_model,
         opt_state=out_opt_state,
@@ -267,4 +277,5 @@ def train_step(
         psnr=psnr(res.render, gt),
         visibility=res.visibility_filter,
         binning_total=res.binning_total,
+        nan_flag=nan_flag,
     )

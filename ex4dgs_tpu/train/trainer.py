@@ -201,15 +201,85 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self, iterations: int | None = None, progress=None) -> dict:
+        """Run the training loop.
+
+        The loop is PIPELINED one step deep (EX4DGS_PIPELINE=0 disables):
+        step k+1 is dispatched before step k's scalars (loss / psnr /
+        binning_total / nan_flag) are pulled to host, so the per-iteration
+        device->host sync — a full round trip through the remote TPU tunnel,
+        which dominated quality-run wall time (0.6 s/iter at a 0.03 s/step
+        bench cost, _r4c_chain3.log) — overlaps the next step's device
+        compute instead of serializing with it. Semantics vs the serial
+        loop: identical device math (steps chain on model futures exactly as
+        before); the only host-visible lags are (a) ErrorTracker marks land
+        one iteration late (extraction candidates average hundreds of
+        marks), and (b) a binning overflow is detected one iteration late —
+        the overflowed step was already a device-side no-op, and its camera
+        is re-run after capacity growth just like the serial path (the one
+        trailing step launched in between trained on the unchanged model, so
+        this is a camera-order swap, not a lost step). Before any host event
+        that reads or mutates the model (densify/extract/growth/eval) the
+        pipeline is drained, restoring exact reference ordering there.
+        """
         cfg, opt = self.cfg, self.opt
         iterations = iterations or opt.iterations
-        statics = self._statics()
         cam_iter = None
         bg_const = jnp.asarray(
             [1.0, 1.0, 1.0] if cfg.white_background else [0.0, 0.0, 0.0]
         )
         metrics = {"loss": [], "psnr": []}
         t_start = time.time()
+        pipeline = os.environ.get("EX4DGS_PIPELINE", "1") != "0"
+        pending = None  # (it, out, relaunch, launch_capacity, timestamps)
+
+        def finalize(p):
+            it_p, out, relaunch, cap_p, ts_list = p
+            total = int(out.binning_total)
+            if total > cap_p:
+                # The gated step was a no-op on device; grow capacity and
+                # re-run the same camera(s) (reference never trains on a
+                # truncated instance list, rasterizer_impl.cu:298-299).
+                for _attempt in range(4):
+                    self.overflow_count += 1
+                    self.capacity = round_capacity(
+                        max(total * 5 // 4, self.capacity * 2), 65536)
+                    out = relaunch()
+                    total = int(out.binning_total)
+                    if total <= self.capacity:
+                        break
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"iteration {it_p}: binning overflow persisted "
+                        f"through all capacity-growth retries (last total "
+                        f"{total}); this step's update was skipped and its "
+                        "logged metrics come from a truncated instance list"
+                    )
+                # adopt the retried step as the live state
+                self.model, self.opt_state = out.model, out.opt_state
+                if hasattr(out, "visibility"):
+                    self.last_vis = out.visibility
+            loss = float(out.loss)
+            for ts in ts_list:
+                self.error_tracker.mark(loss, ts)
+            metrics["loss"].append(loss)
+            metrics["psnr"].append(float(out.psnr))
+            if progress and it_p % self.log_every == 0:
+                progress(it_p, loss, float(out.psnr))
+            if self._metrics_file and it_p % self.log_every == 0:
+                import json
+
+                self._metrics_file.write(json.dumps({
+                    "iteration": it_p, "loss": loss,
+                    "psnr": float(out.psnr),
+                    "n_static": int(self.model.n_static()),
+                    "n_dynamic": int(self.model.n_dynamic()),
+                }) + "\n")
+                self._metrics_file.flush()
+            if bool(out.nan_flag):
+                self._dump_debug_snapshot()
+                self._host_event(D.prune_nan)
 
         while self.iteration < iterations:
             self.iteration += 1
@@ -273,76 +343,53 @@ class Trainer:
                 gts = jnp.stack([jnp.asarray(g) for _, g in batch])
                 ts = jnp.asarray([c.timestamp for c, _ in batch], jnp.float32)
 
-                def run(statics):
+                def run(statics, _it=it):
                     step = self._get_sharded_step(statics)
                     return step(self.model, self.opt_state, cams_b, gts, ts,
-                                bg, jnp.asarray(it, jnp.int32))
+                                bg, jnp.asarray(_it, jnp.int32))
+
+                ts_list = [c.timestamp for c, _ in batch]
             else:
                 cam_dev = cam.render_camera()
                 gt_dev = jnp.asarray(gt)
                 t_dev = jnp.asarray(cam.timestamp, jnp.float32)
 
-                def run(statics):
+                def run(statics, _it=it):
                     return train_step(
                         self.model, self.opt_state, cam_dev, gt_dev, t_dev,
-                        bg, jnp.asarray(it, jnp.int32), statics,
+                        bg, jnp.asarray(_it, jnp.int32), statics,
                     )
 
-            # An overflowing step is a no-op on-device (train/step.py gates
-            # the update on binning_total <= capacity), so grow capacity and
-            # re-run the same camera(s) — the reference never trains on a
-            # truncated instance list (rasterizer_impl.cu:298-299).
-            for _attempt in range(4):
-                out = run(self._statics())
-                total = int(out.binning_total)
-                if total <= self.capacity:
-                    break
-                self.overflow_count += 1
-                # at least double: every distinct capacity is a full step
-                # recompile (minutes on the remote TPU compile service), and
-                # oversized binning buffers cost only ~linear sort time
-                self.capacity = round_capacity(
-                    max(total * 5 // 4, self.capacity * 2), 65536)
-            else:
-                # Still overflowing after all retries: the gated step was a
-                # no-op, but the loss/psnr below come from a truncated render.
-                import warnings
+                ts_list = [cam.timestamp]
 
-                warnings.warn(
-                    f"iteration {it}: binning overflow persisted through all "
-                    f"capacity-growth retries (last total {total}); this "
-                    "step's update was skipped and its logged metrics come "
-                    "from a truncated instance list"
-                )
-
+            # Dispatch step `it`; its scalars are pulled lazily in finalize()
+            # (one iteration later under pipelining) so the device->host
+            # round trip overlaps the next step's compute.
+            cap_launch = self.capacity
+            out = run(self._statics())
             self.model, self.opt_state = out.model, out.opt_state
-            loss = float(out.loss)
             self.last_cam = cam
             if self.mesh is not None:
-                for c, _ in batch:
-                    self.error_tracker.mark(loss, c.timestamp)
                 self.last_vis = None  # per-camera visibility folded into stats
             else:
-                self.error_tracker.mark(loss, cam.timestamp)
                 # kept ON DEVICE: only extraction events read it (_do_extract),
                 # so the [capacity]-sized D2H transfer (~1 MB/iter through the
                 # remote TPU tunnel) happens once per extracton_interval, not
                 # every step
                 self.last_vis = out.visibility
 
-            metrics["loss"].append(loss)
-            metrics["psnr"].append(float(out.psnr))
-            if progress and it % self.log_every == 0:
-                progress(it, loss, float(out.psnr))
-            if self._metrics_file and it % self.log_every == 0:
-                import json
+            if pending is not None:
+                finalize(pending)  # overlaps step `it` executing on device
+            pending = (it, out, lambda: run(self._statics()), cap_launch,
+                       ts_list)
 
-                self._metrics_file.write(json.dumps({
-                    "iteration": it, "loss": loss, "psnr": float(out.psnr),
-                    "n_static": int(self.model.n_static()),
-                    "n_dynamic": int(self.model.n_dynamic()),
-                }) + "\n")
-                self._metrics_file.flush()
+            # Drain before anything that reads/mutates host-visible state:
+            # host events (densify/extract/growth/prune), in-training eval,
+            # the final iteration — or every iteration when pipelining is off.
+            if (not pipeline or it >= iterations or it in self.test_iterations
+                    or self._events_due(it)):
+                finalize(pending)
+                pending = None
 
             if it in self.test_iterations:
                 report = self.evaluate_test_set()
@@ -356,8 +403,36 @@ class Trainer:
 
             self._scheduled_events(it)
 
+        if pending is not None:
+            finalize(pending)
         metrics["wall_time"] = time.time() - t_start
         return metrics
+
+    def _events_due(self, it: int) -> bool:
+        """Mirror of every _scheduled_events branch that runs a host event
+        (pulls/mutates the model): the pipelined loop drains before these so
+        event ordering matches the serial loop exactly. Flag-only branches
+        (mark_last bookkeeping) don't need a drain. Conservative — returning
+        True merely costs the overlap for that iteration."""
+        opt = self.opt
+        if it < opt.densify_until_iter:
+            if it > opt.densify_from_iter and it % opt.densification_interval == 0:
+                return True
+            if (it > opt.extract_from_iter and it % opt.extracton_interval == 0
+                    and hasattr(self, "last_cam")):
+                return True
+        if (it % (opt.densification_interval * 4) == 0
+                and it < opt.densify_until_iter - 3000):
+            return True
+        if self.prune_inv and it < opt.iterations and it > 3000:
+            return True
+        if (it > opt.extract_from_iter
+                and it % opt.progressive_growing_steps == 0
+                and it > opt.progressive_growing_steps):
+            return True
+        if self.mark_extract and hasattr(self, "last_cam"):
+            return True
+        return False
 
     # ------------------------------------------------------------------
     def _scheduled_events(self, it: int) -> None:
@@ -412,7 +487,10 @@ class Trainer:
                 self._host_event(D.prune_small)
             self.prune_inv = False
 
-        self._host_event_if_nan()
+        # NaN watchdog: folded into the step graph (StepOutputs.nan_flag,
+        # checked in finalize) — the host-side isnan + bool() here cost a
+        # blocking device round trip EVERY iteration. _host_event_if_nan
+        # remains for host-event-path callers.
 
         # progressive growth (train.py:257-274)
         if (

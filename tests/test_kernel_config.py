@@ -16,8 +16,20 @@ def test_default_is_valid_and_self_describing():
     assert cfg.n_pix == 512  # 32x16, the measured optimum (BASELINE.md r3)
     d = cfg.as_dict()
     assert set(d) == {"tile_x", "tile_y", "pair", "g_chunk", "win_align",
-                      "bufs", "exact_sort", "pair_fwd"}
+                      "bufs", "exact_sort", "pair_fwd", "tight_cull",
+                      "kernel_dot", "power", "pack_vjp", "ssim_blur",
+                      "scan_dot", "untile"}
     assert KernelConfig.from_dict(d) == cfg
+
+
+def test_old_checkpoint_dicts_still_load():
+    # round-3 checkpoints recorded only the original eight knobs; loading
+    # them must fill the newer knobs with defaults
+    old = {"tile_x": 32, "tile_y": 16, "pair": 1, "g_chunk": 128,
+           "win_align": 128, "bufs": 2, "exact_sort": False, "pair_fwd": 0}
+    cfg = KernelConfig.from_dict(old)
+    assert cfg.kernel_dot == "split" and cfg.untile == "naive"
+    assert not cfg.tight_cull
 
 
 @pytest.mark.parametrize("bad", [
@@ -34,6 +46,13 @@ def test_default_is_valid_and_self_describing():
     # inside Mosaic. (At g_chunk=128 the live set halves and fits the model.)
     dict(tile_x=32, tile_y=16, pair=2, g_chunk=256),
     dict(pair=4),
+    # string knobs must be validated values, not free-form env text
+    dict(kernel_dot="bf16"),
+    dict(power="fast"),
+    dict(pack_vjp="atomic"),
+    dict(ssim_blur="conv"),
+    dict(scan_dot="default"),
+    dict(untile="padded"),
 ])
 def test_invalid_configs_fail_fast(bad):
     with pytest.raises(ValueError, match="invalid KernelConfig"):
@@ -46,19 +65,32 @@ def test_512px_tiles_require_pair_1():
 
 
 def test_configure_rebinds_module_globals():
-    from ex4dgs_tpu.ops import projection, rasterize_pallas
+    from ex4dgs_tpu.ops import (compositing, losses, projection,
+                                rasterize_pallas, scan_ops)
 
     base = current()
     try:
-        cfg = KernelConfig(tile_x=32, tile_y=16, pair=1)
+        cfg = KernelConfig(tile_x=32, tile_y=16, pair=1,
+                           kernel_dot="highest", power="mxu",
+                           pack_vjp="scatter", ssim_blur="matmul",
+                           scan_dot="highest", untile="aligned")
         configure(cfg)
         assert projection.TILE_X == 32 and projection.TILE_Y == 16
         assert rasterize_pallas.PAIR == 1
         assert rasterize_pallas.N_PIX == 512
+        # round-4 numeric-strategy knobs (VERDICT r4 #6) rebind too
+        assert rasterize_pallas.KERNEL_DOT == "highest"
+        assert rasterize_pallas.POWER_IMPL == "mxu"
+        assert rasterize_pallas.PACK_VJP == "scatter"
+        assert losses.SSIM_BLUR == "matmul"
+        assert scan_ops.SCAN_DOT == "highest"
+        assert compositing.UNTILE == "aligned"
     finally:
         configure(base)
     assert projection.TILE_X == base.tile_x
     assert rasterize_pallas.N_PIX == base.n_pix
+    assert rasterize_pallas.KERNEL_DOT == base.kernel_dot
+    assert compositing.UNTILE == base.untile
 
 
 def test_checkpoint_roundtrip_json():

@@ -165,3 +165,49 @@ def test_trainer_preallocates_keyframes(disk_scene):
     assert trainer.model.params["motion_xyz"].shape[1] == kc0  # no reshape
     assert trainer.sample_len > cfg.start_duration  # growth actually ran
     assert int(trainer.model.keyframe_num) >= kn0
+
+
+def test_trainer_pipeline_matches_serial(disk_scene):
+    """The lag-1 pipelined loop (default) must produce the same training
+    trajectory as the serial loop (EX4DGS_PIPELINE=0): the device math is
+    identical (steps chain on model futures either way); only host
+    bookkeeping timing differs. Same seed, no overflow => identical params."""
+    cfg = ModelConfig(
+        source_path=disk_scene, loader="neural3dvideo", resolution=8,
+        duration=-1, time_interval=2, time_pad=1, start_duration=2,
+        near=0.05, far=50.0,
+    )
+    opt = OptimizationConfig(
+        iterations=60, densification_interval=25, densify_from_iter=10,
+        extract_from_iter=10, densify_until_iter=1000,
+        progressive_growing_steps=30, make_dynamic_interval=5,
+        extracton_interval=40, prune_invisible_interval=100000,
+        random_background=False,
+    )
+
+    def run(pipeline_env):
+        old = os.environ.get("EX4DGS_PIPELINE")
+        os.environ["EX4DGS_PIPELINE"] = pipeline_env
+        try:
+            scene = Scene(cfg, scene_info=read_n3v_scene(disk_scene, cfg))
+            tr = Trainer(cfg, opt, scene, capacity=65536, max_per_tile=256,
+                         seed=11)
+            metrics = tr.train(iterations=60)
+            return tr, metrics
+        finally:
+            if old is None:
+                os.environ.pop("EX4DGS_PIPELINE", None)
+            else:
+                os.environ["EX4DGS_PIPELINE"] = old
+
+    tr_p, m_p = run("1")
+    tr_s, m_s = run("0")
+    assert tr_p.overflow_count == 0 and tr_s.overflow_count == 0
+    np.testing.assert_allclose(np.asarray(m_p["loss"]),
+                               np.asarray(m_s["loss"]), rtol=0, atol=0)
+    for k in tr_p.model.params:
+        np.testing.assert_array_equal(
+            np.asarray(tr_p.model.params[k]), np.asarray(tr_s.model.params[k]),
+            err_msg=k)
+    assert int(tr_p.model.n_static()) == int(tr_s.model.n_static())
+    assert int(tr_p.model.n_dynamic()) == int(tr_s.model.n_dynamic())
