@@ -69,7 +69,7 @@ pts0 = np.asarray(pd0.means3d)[act]
 cols0 = np.clip(np.asarray(sh0_to_rgb(pd0.features[act][:, 0])), 0, 1)
 init_model = create_from_pcd(pts0, cols0, cfg, duration=2)
 opt = OptimizationConfig(
-    iterations=80, densification_interval=30, densify_from_iter=20,
+    iterations=240, densification_interval=30, densify_from_iter=20,
     extract_from_iter=20, densify_until_iter=1000,
     progressive_growing_steps=40, make_dynamic_interval=10,
     extracton_interval=60, prune_invisible_interval=100000,
@@ -82,12 +82,13 @@ info = SceneInfo(point_cloud=PointCloud(pts0, cols0),
 scene = Scene(cfg, scene_info=info)
 tr = Trainer(cfg, opt, scene, model=init_model, capacity=262144,
              max_per_tile=4096, seed=1)
-m = tr.train(iterations=80)
+m = tr.train(iterations=240)
 losses = np.asarray(m["loss"])
-print(f"trainer: loss {losses[:5].mean():.4f} -> {losses[-5:].mean():.4f}, "
-      f"psnr last {np.asarray(m['psnr'])[-5:].mean():.2f}")
+print(f"trainer: loss {losses[:20].mean():.4f} -> {losses[-20:].mean():.4f}, "
+      f"psnr last {np.asarray(m['psnr'])[-20:].mean():.2f}")
 assert np.isfinite(losses).all()
-assert losses[-10:].mean() < losses[:10].mean()
+# convergence starts ~iter 100 on this scene (LR warmup + densify events)
+assert losses[-20:].mean() < 0.5 * losses[:20].mean()
 img = render(cams[0], tr.model, cfg, t=jnp.asarray(1.0), bg=jnp.zeros(3),
              capacity=262144, max_per_tile=4096).render
 Image.fromarray(

@@ -448,17 +448,6 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
     moms = _pixel_moments(pxp, pyp)  # [PAIR, N_PIX, 8]
     cumU = _cumsum_matrix()
 
-    acc_ref[:] = jnp.zeros((pair, N_PIX, N_ACC), jnp.float32)
-    cum_ref[:] = jnp.ones((pair, N_PIX, 1), jnp.float32)
-    tfin_ref[:] = jnp.full((pair, N_PIX, 1), comp.T_SENTINEL, jnp.float32)
-    best_ref[:] = jnp.zeros((pair, N_PIX, 1), jnp.float32)
-    bid_ref[:] = jnp.full((pair, N_PIX, 1), -1, jnp.int32)
-    # A tile that runs out of chunks before its partner reads whatever its
-    # buffer pane holds (mask kills the weights, but 0 * NaN from truly
-    # uninitialized VMEM would still poison the feature matmul) — start from
-    # zeros so stale panes are always finite.
-    buf[:] = jnp.zeros(buf.shape, jnp.float32)
-
     def start_dma(k, j, slot):
         off = _win(base_k[k] + j * G_CHUNK)
         pltpu.make_async_copy(
@@ -481,11 +470,39 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
                 gsem.at[slot, k],
             ).wait()
 
-    for k in range(pair):
-        for d in range(BUFS - 1):
-            @pl.when(d < n_k[k])
-            def _(k=k, d=d):
-                start_dma(k, d, d)
+    if pair == 1:
+        # Single pane: every pane the loop reads was DMA-waited (the alive
+        # condition keeps j < n_k), so no stale pane exists and the buffer
+        # zero-fill — a 16 KB serial write the first DMA would have to order
+        # behind — is skipped. Tiles after the first had their leading
+        # windows issued by the PREVIOUS grid step's epilogue (cross-tile
+        # prefetch: the first window's HBM latency hides under the
+        # predecessor's output writes and this step's state init).
+        @pl.when(p == 0)
+        def _():
+            for d in range(BUFS - 1):
+                @pl.when(d < n_k[0])
+                def _(d=d):
+                    start_dma(0, d, d)
+    else:
+        # A tile that runs out of chunks before its partner reads whatever
+        # its buffer pane holds (mask kills the weights, but 0 * NaN from
+        # truly uninitialized VMEM would still poison the feature matmul) —
+        # start from zeros so stale panes are always finite. The zero-fill
+        # must complete before the DMAs land, so issuance follows it and
+        # cross-tile prefetch is disabled for pair > 1.
+        buf[:] = jnp.zeros(buf.shape, jnp.float32)
+        for k in range(pair):
+            for d in range(BUFS - 1):
+                @pl.when(d < n_k[k])
+                def _(k=k, d=d):
+                    start_dma(k, d, d)
+
+    acc_ref[:] = jnp.zeros((pair, N_PIX, N_ACC), jnp.float32)
+    cum_ref[:] = jnp.ones((pair, N_PIX, 1), jnp.float32)
+    tfin_ref[:] = jnp.full((pair, N_PIX, 1), comp.T_SENTINEL, jnp.float32)
+    best_ref[:] = jnp.zeros((pair, N_PIX, 1), jnp.float32)
+    bid_ref[:] = jnp.full((pair, N_PIX, 1), -1, jnp.int32)
 
     def body(carry):
         j, _ = carry
@@ -563,6 +580,30 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
             @pl.when(j_exit + d < n_k[k])
             def _(k=k, d=d):
                 wait_dma(k, j_exit + d, jax.lax.rem(j_exit + d, BUFS))
+
+    if pair == 1:
+        # Cross-tile prefetch: issue the NEXT tile's leading windows now —
+        # the slots are free (all this tile's reads drained above), and the
+        # next grid step only waits. Hides the first window's HBM latency
+        # under this tile's output writes and the next tile's state init.
+        @pl.when(p + 1 < pl.num_programs(0))
+        def _():
+            s_n = starts[t0 + 1]
+            b_n = (s_n // WIN_ALIGN) * WIN_ALIGN
+            n_n = pl.cdiv(stops[t0 + 1] - b_n, G_CHUNK)
+            for d in range(BUFS - 1):
+                @pl.when(d < n_n)
+                def _(d=d, b_n=b_n):
+                    off = _win(b_n + d * G_CHUNK)
+                    pltpu.make_async_copy(
+                        data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[d, 0],
+                        sem.at[d, 0],
+                    ).start()
+                    if track_idx:
+                        pltpu.make_async_copy(
+                            gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[d, 0],
+                            gsem.at[d, 0],
+                        ).start()
 
     accum_out[:] = acc_ref[:]
     tfinal_out[:] = jnp.where(
@@ -697,10 +738,34 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
         pxp = pxp + off_in[:, :, 0:1]
         pyp = pyp + off_in[:, :, 1:2]
 
+    def start_read(k, j, slot):
+        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
+        pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
+        ).start()
+
+    if PAIR == 1:
+        # no stale pane at a single pane (the loop only reads waited
+        # windows); skip the zero-fill the first DMA would order behind.
+        # Tiles after the first were issued by the previous grid step's
+        # epilogue (cross-tile prefetch).
+        @pl.when(p == 0)
+        def _():
+            for d in range(BUFS - 1):
+                @pl.when(d < n_k[0])
+                def _(d=d):
+                    start_read(0, d, d)
+    else:
+        buf[:] = jnp.zeros(buf.shape, jnp.float32)  # stale panes must be finite
+        for k in range(PAIR):
+            for d in range(BUFS - 1):
+                @pl.when(d < n_k[k])
+                def _(k=k, d=d):
+                    start_read(k, d, d)
+
     cum_ref[:] = jnp.ones((PAIR, N_PIX, 1), jnp.float32)
     pref_ref[:] = jnp.zeros((PAIR, N_PIX, 1), jnp.float32)
     bw0_ref[:] = jnp.zeros((PAIR, DATA_ROWS, G_CHUNK), jnp.float32)
-    buf[:] = jnp.zeros(buf.shape, jnp.float32)  # stale panes must be finite
     gacc = gacc_in[:]  # [PAIR, N_PIX, N_ACC]
     gc_r = gacc[:, :, 0:1]
     gc_g = gacc[:, :, 1:2]
@@ -709,12 +774,6 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     tf_term = gend_in[:] * tfin_in[:]  # [PAIR, N_PIX, 1]
     moms = _pixel_moments(pxp, pyp)  # [PAIR, N_PIX, 8]
     cumU = _cumsum_matrix()
-
-    def start_read(k, j, slot):
-        off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
-        pltpu.make_async_copy(
-            data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
-        ).start()
 
     def wait_read(k, j, slot):
         off = pl.multiple_of(base_k[k] + j * G_CHUNK, G_CHUNK)
@@ -735,12 +794,6 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
             dbuf.at[slot, k], dgrad_out.at[:, pl.ds(off, G_CHUNK)],
             wsem.at[slot, k],
         ).wait()
-
-    for k in range(PAIR):
-        for d in range(BUFS - 1):
-            @pl.when(d < n_k[k])
-            def _(k=k, d=d):
-                start_read(k, d, d)
 
     def body(carry):
         j, _ = carry
@@ -863,6 +916,24 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
             @pl.when(j_exit + d < n_k[k])
             def _(k=k, d=d):
                 wait_read(k, j_exit + d, jax.lax.rem(j_exit + d, BUFS))
+
+    if PAIR == 1:
+        # Cross-tile prefetch (see _forward_kernel): issue the next tile's
+        # leading read windows while this tile drains its writes and
+        # zero-fills — the next grid step only waits.
+        @pl.when(p + 1 < pl.num_programs(0))
+        def _():
+            s_n = starts[t0 + 1]
+            b_n = (s_n // G_CHUNK) * G_CHUNK
+            n_n = pl.cdiv(stops[t0 + 1] - b_n, G_CHUNK)
+            for d in range(BUFS - 1):
+                @pl.when(d < n_n)
+                def _(d=d, b_n=b_n):
+                    off = pl.multiple_of(b_n + d * G_CHUNK, G_CHUNK)
+                    pltpu.make_async_copy(
+                        data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[d, 0],
+                        sem.at[d, 0],
+                    ).start()
 
     # Drain outstanding grad writes per pane. The in-loop drain already waited
     # every chunk <= j_exit - 3, so only chunks >= j_exit - 2 can still be in
