@@ -45,7 +45,9 @@ G_CHUNK = _kernel_config().g_chunk
 N_PIX = TILE_X * TILE_Y  # 512 at the default 32x16
 DATA_ROWS = 16  # packed per-instance rows (one sublane tile)
 # rows: 0 xy_x, 1 xy_y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
-#       6 r, 7 g, 8 b, 9 depth, 10 fx, 11 fy, 12 fz, 13 one, 14-15 pad
+#       6 r, 7 g, 8 b, 9 depth, 10 fx, 11 fy, 12 fz, 13 one,
+#       14 gaussian-id bits (dominant-idx tracking, no second DMA stream),
+#       15 pad
 N_ACC = 8  # accum channels: r g b depth fx fy fz acc
 
 
@@ -226,6 +228,14 @@ def pack_sorted(proj: Projected, colors, flow, binning: Binning):
         data = _gather_rows_t(cols, g, binning.cum, binning.counts)
     else:  # minimal Binning (tests) — autodiff scatter VJP
         data = jnp.take(cols, g, axis=0).T
+    # Row 14 carries the per-instance Gaussian id as raw bits: the forward
+    # kernel's dominant-idx tracking then needs NO second DMA stream (a
+    # separate [1, cap] gid buffer doubled the per-window DMA/semaphore count
+    # and cost ~6.5 ms/frame at N3V scale — round-5 renderprobe). The id is
+    # `g` itself, so no extra gather; the set's VJP drops the (zero) row-14
+    # cotangent exactly as the old zeros row did.
+    data = data.at[14, :].set(
+        jax.lax.bitcast_convert_type(g.astype(jnp.int32), jnp.float32))
     return data, g.astype(jnp.int32)
 
 
@@ -416,9 +426,9 @@ def _pair_scalars_i32(vals):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
-                    tfinal_out, bestidx_out, buf, gbuf, cum_ref, tfin_ref,
-                    best_ref, bid_ref, acc_ref, sem, gsem, *, grid_x,
+def _forward_kernel(starts, stops, tids, data_hbm, off_in, accum_out,
+                    tfinal_out, bestidx_out, buf, cum_ref, tfin_ref,
+                    best_ref, bid_ref, acc_ref, sem, *, grid_x,
                     track_idx, subpixel, pair):
     """Composite a PAIR of adjacent tiles per grid step, batched on a leading
     pair axis: every VPU op covers both tiles' [N_PIX, G] panes (2x the work
@@ -453,22 +463,12 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
         pltpu.make_async_copy(
             data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
         ).start()
-        if track_idx:
-            pltpu.make_async_copy(
-                gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[slot, k],
-                gsem.at[slot, k],
-            ).start()
 
     def wait_dma(k, j, slot):
         off = _win(base_k[k] + j * G_CHUNK)
         pltpu.make_async_copy(
             data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[slot, k], sem.at[slot, k]
         ).wait()
-        if track_idx:
-            pltpu.make_async_copy(
-                gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[slot, k],
-                gsem.at[slot, k],
-            ).wait()
 
     if pair == 1:
         # Single pane: every pane the loop reads was DMA-waited (the alive
@@ -544,7 +544,10 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
 
         if track_idx:
             cmax = jnp.max(w, axis=2, keepdims=True)
-            ids = jnp.broadcast_to(gbuf[slot][:, 0:1, :], (pair, N_PIX, G_CHUNK))
+            # per-instance Gaussian ids ride data row 14 as raw bits
+            ids = jnp.broadcast_to(
+                jax.lax.bitcast_convert_type(chunk[:, 14:15, :], jnp.int32),
+                (pair, N_PIX, G_CHUNK))
             # id of the max-weight lane (min id among exact ties)
             cid = jnp.min(
                 jnp.where((w == cmax) & (cmax > 0), ids, jnp.int32(2**30)),
@@ -599,11 +602,6 @@ def _forward_kernel(starts, stops, tids, data_hbm, gid_hbm, off_in, accum_out,
                         data_hbm.at[:, pl.ds(off, G_CHUNK)], buf.at[d, 0],
                         sem.at[d, 0],
                     ).start()
-                    if track_idx:
-                        pltpu.make_async_copy(
-                            gid_hbm.at[:, pl.ds(off, G_CHUNK)], gbuf.at[d, 0],
-                            gsem.at[d, 0],
-                        ).start()
 
     accum_out[:] = acc_ref[:]
     tfinal_out[:] = jnp.where(
@@ -623,7 +621,7 @@ def _pad_pair(arr, num_tiles, fill=0, pair=None):
     return jnp.pad(arr, pad, constant_values=fill)
 
 
-def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
+def _forward_pallas(data, starts, stops, tids, subpixel_offsets=None, *,
                     num_tiles, grid_x, interpret=False, track_idx=True):
     pf = PAIR_F
     subpixel = subpixel_offsets is not None
@@ -639,7 +637,6 @@ def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
         # a tile's last window can reach past `capacity` by up to
         # G_CHUNK - WIN_ALIGN slots: one window of tail headroom
         data = jnp.pad(data, ((0, 0), (0, G_CHUNK)))
-        gid = jnp.pad(gid, ((0, 0), (0, G_CHUNK)))
     t_pad = starts.shape[0]
     kernel = functools.partial(_forward_kernel, grid_x=grid_x,
                                track_idx=track_idx, subpixel=subpixel,
@@ -649,7 +646,6 @@ def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
         num_scalar_prefetch=3,
         grid=(t_pad // pf,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((pf, N_PIX, 2), off_map, memory_space=pltpu.VMEM),
         ],
@@ -663,13 +659,11 @@ def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
         ],
         scratch_shapes=[
             pltpu.VMEM((BUFS, pf, DATA_ROWS, G_CHUNK), jnp.float32),  # buf
-            pltpu.VMEM((BUFS, pf, 1, G_CHUNK), jnp.int32),  # gbuf
             pltpu.VMEM((pf, N_PIX, 1), jnp.float32),  # cum
             pltpu.VMEM((pf, N_PIX, 1), jnp.float32),  # tfin
             pltpu.VMEM((pf, N_PIX, 1), jnp.float32),  # best w
             pltpu.VMEM((pf, N_PIX, 1), jnp.int32),  # best id
             pltpu.VMEM((pf, N_PIX, N_ACC), jnp.float32),  # accum
-            pltpu.SemaphoreType.DMA((BUFS, pf)),
             pltpu.SemaphoreType.DMA((BUFS, pf)),
         ],
     )
@@ -682,7 +676,7 @@ def _forward_pallas(data, gid, starts, stops, tids, subpixel_offsets=None, *,
             jax.ShapeDtypeStruct((t_pad, N_PIX, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(starts, stops, tids, data, gid, subpixel_offsets)
+    )(starts, stops, tids, data, subpixel_offsets)
     return accum[:num_tiles], tfinal[:num_tiles], bestidx[:num_tiles]
 
 
@@ -1086,9 +1080,12 @@ def composite_tiles(data, bg, gid, starts, stops, tids, subpixel_offsets,
     """Composite `num_tiles` tiles; tids[t] is each tile's GLOBAL grid index
     (= arange for a full frame; a slab offset under tile sharding).
     subpixel_offsets: optional [T, 256, 2] per-pixel AA offsets
-    (forward.cu:311-317) — treated as data, not a differentiable parameter."""
+    (forward.cu:311-317) — treated as data, not a differentiable parameter.
+    `gid` is kept in the signature for callers/documentation, but the kernel
+    reads per-instance ids from data row 14 (pack_sorted) — no second DMA
+    stream."""
     accum, tfinal, bestidx = _forward_pallas(
-        data, gid, starts, stops, tids, subpixel_offsets,
+        data, starts, stops, tids, subpixel_offsets,
         num_tiles=num_tiles, grid_x=grid_x,
         interpret=interpret, track_idx=track_idx,
     )
