@@ -117,14 +117,23 @@ tr = Trainer(cfg, opt, scene, model=init_model, capacity=CAPACITY,
              test_iterations=tuple(range(1000, ITERS + 1, 1000)))
 
 t0 = time.time()
+# Wall-clock budget: stop training at the last checkpoint boundary that fits
+# (the end-to-end eval below must still run). ITERS remains the target.
+BUDGET_S = float(os.environ.get("Q3_TIME_BUDGET_S", 1e12))
 while tr.iteration < ITERS:
     tr.train(iterations=min(tr.iteration + CKPT_EVERY, ITERS))
     tr.save(OUT)
+    el = time.time() - t0
+    s_per = el / tr.iteration
     print(f"checkpoint @ {tr.iteration} "
-          f"({time.time() - t0:.0f}s, {(time.time() - t0) / tr.iteration:.2f}"
-          f" s/iter, n_static={int(tr.model.n_static())}, "
+          f"({el:.0f}s, {s_per:.2f} s/iter, "
+          f"n_static={int(tr.model.n_static())}, "
           f"n_dyn={int(tr.model.n_dynamic())})", flush=True)
+    if tr.iteration < ITERS and el + CKPT_EVERY * s_per > BUDGET_S:
+        print(f"time budget: stopping at {tr.iteration} iters", flush=True)
+        break
 wall = time.time() - t0
+ITERS = tr.iteration
 
 # ---- END-TO-END eval through the production harness -----------------------
 eval_dir = os.path.join(OUT, "test")
