@@ -501,8 +501,15 @@ def _forward_kernel(starts, stops, tids, data_hbm, off_in, accum_out,
     acc_ref[:] = jnp.zeros((pair, N_PIX, N_ACC), jnp.float32)
     cum_ref[:] = jnp.ones((pair, N_PIX, 1), jnp.float32)
     tfin_ref[:] = jnp.full((pair, N_PIX, 1), comp.T_SENTINEL, jnp.float32)
-    best_ref[:] = jnp.zeros((pair, N_PIX, 1), jnp.float32)
-    bid_ref[:] = jnp.full((pair, N_PIX, 1), -1, jnp.int32)
+    if track_idx:
+        # Deferred dominant-idx: keep a full [N_PIX, G_CHUNK] running best
+        # weight/id per lane slot (elementwise selects per window) and
+        # lane-reduce ONCE per tile in the epilogue. The old per-window
+        # arg-max did two cross-lane reductions per window — ~6.4 ms/frame
+        # at N3V scale (round-5 renderprobe). bid_ref needs no init: its
+        # slots are only read where best == cmax > 0, which implies the slot
+        # was written.
+        best_ref[:] = jnp.zeros(best_ref.shape, jnp.float32)
 
     def body(carry):
         j, _ = carry
@@ -543,19 +550,14 @@ def _forward_kernel(starts, stops, tids, data_hbm, off_in, accum_out,
         tfin_ref[:] = jnp.minimum(tfin_ref[:], chunk_min)
 
         if track_idx:
-            cmax = jnp.max(w, axis=2, keepdims=True)
-            # per-instance Gaussian ids ride data row 14 as raw bits
+            # per-instance Gaussian ids ride data row 14 as raw bits;
+            # strictly-greater keeps the earliest window's weight on ties
             ids = jnp.broadcast_to(
                 jax.lax.bitcast_convert_type(chunk[:, 14:15, :], jnp.int32),
                 (pair, N_PIX, G_CHUNK))
-            # id of the max-weight lane (min id among exact ties)
-            cid = jnp.min(
-                jnp.where((w == cmax) & (cmax > 0), ids, jnp.int32(2**30)),
-                axis=2, keepdims=True,
-            )
-            better = cmax > best_ref[:]
-            best_ref[:] = jnp.where(better, cmax, best_ref[:])
-            bid_ref[:] = jnp.where(better, cid, bid_ref[:])
+            better = w > best_ref[:]
+            best_ref[:] = jnp.where(better, w, best_ref[:])
+            bid_ref[:] = jnp.where(better, ids, bid_ref[:])
 
         new_cum = cum[..., -1:]
         cum_ref[:] = new_cum
@@ -607,7 +609,18 @@ def _forward_kernel(starts, stops, tids, data_hbm, off_in, accum_out,
     tfinal_out[:] = jnp.where(
         tfin_ref[:] >= comp.T_SENTINEL, cum_ref[:], tfin_ref[:]
     )
-    bestidx_out[:] = bid_ref[:]
+    if track_idx:
+        # one lane-reduction per tile: max weight, then min id among ties
+        best = best_ref[:]
+        cmax = jnp.max(best, axis=2, keepdims=True)
+        cid = jnp.min(
+            jnp.where((best == cmax) & (cmax > 0), bid_ref[:],
+                      jnp.int32(2**30)),
+            axis=2, keepdims=True,
+        )
+        bestidx_out[:] = jnp.where(cmax > 0, cid, jnp.int32(-1))
+    else:
+        bestidx_out[:] = jnp.full((pair, N_PIX, 1), -1, jnp.int32)
 
 
 def _pad_pair(arr, num_tiles, fill=0, pair=None):
@@ -661,8 +674,11 @@ def _forward_pallas(data, starts, stops, tids, subpixel_offsets=None, *,
             pltpu.VMEM((BUFS, pf, DATA_ROWS, G_CHUNK), jnp.float32),  # buf
             pltpu.VMEM((pf, N_PIX, 1), jnp.float32),  # cum
             pltpu.VMEM((pf, N_PIX, 1), jnp.float32),  # tfin
-            pltpu.VMEM((pf, N_PIX, 1), jnp.float32),  # best w
-            pltpu.VMEM((pf, N_PIX, 1), jnp.int32),  # best id
+            # deferred-argmax panes (full lane width) when tracking ids
+            pltpu.VMEM((pf, N_PIX, G_CHUNK if track_idx else 1),
+                       jnp.float32),  # best w
+            pltpu.VMEM((pf, N_PIX, G_CHUNK if track_idx else 1),
+                       jnp.int32),  # best id
             pltpu.VMEM((pf, N_PIX, N_ACC), jnp.float32),  # accum
             pltpu.SemaphoreType.DMA((BUFS, pf)),
         ],
