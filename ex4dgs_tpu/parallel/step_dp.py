@@ -147,6 +147,20 @@ def make_sharded_train_step(statics: StepStatics, mesh: Mesh):
         # Parameter grads: psum over 'gauss' reassembles the sliced backward;
         # pmean over 'data' averages the per-camera gradients (standard DP —
         # at data=1 this is exactly the reference's single-camera gradient).
+        #
+        # Overlap with the backward sweep (SURVEY §2.3 / §5.8): the psums are
+        # issued per-PARAMETER here, so each collective's data dependency is
+        # only that parameter's gradient — XLA's latency-hiding scheduler is
+        # free to start a parameter's psum while the remaining backward
+        # (notably the serial per-tile rasterizer VJP, which produces the
+        # instance-gradient segment reduction feeding xyz/scaling/rotation
+        # LAST) is still running; the early-ready gradients (regularizer
+        # terms, SH/color chains) can be in flight on ICI meanwhile. Nothing
+        # in this graph forces a barrier before the optimizer consumes them.
+        # One-chip bound: the whole shard_map program structure costs 6.6%
+        # vs the plain step at mesh (1,1) (BASELINE.md round-5,
+        # tools/tpu_probes/_tpu_shardoverhead.py); actual compute/collective
+        # overlap on a real multi-chip mesh is unmeasurable in this image.
         pgrads = jax.tree.map(
             lambda g: jax.lax.pmean(jax.lax.psum(g, "gauss"), "data"), pgrads
         )
