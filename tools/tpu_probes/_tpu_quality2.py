@@ -125,13 +125,23 @@ if FULL_SCHED:
     # the full 8 (sample window +time_interval every growth step, done by
     # ~1/3 of the run like the reference's 10->300 over 40k), reference
     # cadence ratios for densify (300/500/0.75) and extraction (~1/10).
+    # Q2_EXTRACT=0: extraction-off ablation (VERDICT r4 #8) — the N3V
+    # schedule lives or dies on static->dynamic extraction at the
+    # worst-loss timestamp (c_gaussian_model.py:1147-1227); this measures
+    # the held-out delta it buys on the surface scene.
+    extract_on = os.environ.get("Q2_EXTRACT", "1") == "1"
     opt = OptimizationConfig(
         iterations=ITERS,
         position_lr_init=0.0016, position_lr_final=0.00016,
         feature_lr=0.025, opacity_lr=0.05, scaling_lr=0.005, disp_lr=0.001,
         densification_interval=300, densify_from_iter=500,
         densify_until_iter=int(ITERS * 0.75),
-        extract_from_iter=500, extracton_interval=max(1, ITERS // 10),
+        # extraction-off keeps extract_from_iter (it also gates progressive
+        # growth) and instead disables both extraction triggers: the
+        # interval event and the growth-driven mark (extract_every)
+        extract_from_iter=500,
+        extracton_interval=max(1, ITERS // 10) if extract_on else ITERS + 1,
+        extract_every=1 if extract_on else 10**9,
         progressive_growing_steps=max(1, ITERS // 10),
         make_dynamic_interval=100,
         prune_invisible_interval=10_000,
