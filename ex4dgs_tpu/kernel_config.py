@@ -32,6 +32,7 @@ _ENV = {
     "win_align": "EX4DGS_ALIGN", "bufs": "EX4DGS_BUFS",
     "exact_sort": "EX4DGS_EXACT_SORT", "pair_fwd": "EX4DGS_PAIR_FWD",
     "tight_cull": "EX4DGS_TIGHT_CULL",
+    "aligned_layout": "EX4DGS_ALIGNED_LAYOUT",
     "kernel_dot": "EX4DGS_KERNEL_DOT", "power": "EX4DGS_POWER",
     "pack_vjp": "EX4DGS_PACK_VJP", "ssim_blur": "EX4DGS_SSIM_BLUR",
     "scan_dot": "EX4DGS_SCAN_DOT", "untile": "EX4DGS_UNTILE",
@@ -98,6 +99,12 @@ class KernelConfig:
     # with a 1 px margin covering the integer-pixel-grid and subpixel-AA
     # conventions. See ops/binning.py.
     tight_cull: bool = False
+    # Chunk-aligned instance layout: re-pad the sorted instance array so
+    # every tile's range starts on a g_chunk boundary (ops/binning.py::
+    # align_binning). Kills the kernels' leading masked-lane waste (~avg
+    # win_align/2 per tile) for two capacity-length scans; capacity must then
+    # fit the PADDED total (the overflow gate accounts for it).
+    aligned_layout: bool = False
     # Numeric-strategy knobs (string-valued; allowed values in _CHOICES,
     # rationale at the consuming site):
     kernel_dot: str = "split"      # ops/rasterize_pallas.py::_dot_split
@@ -166,7 +173,7 @@ class KernelConfig:
     @staticmethod
     def from_dict(d: dict) -> "KernelConfig":
         def coerce(k, v):
-            if k in ("exact_sort", "tight_cull"):
+            if k in ("exact_sort", "tight_cull", "aligned_layout"):
                 return bool(v)
             if k in _CHOICES:
                 return str(v)
@@ -190,6 +197,8 @@ class KernelConfig:
             exact_sort=os.environ.get(_ENV["exact_sort"], "0") == "1",
             pair_fwd=int(os.environ.get(_ENV["pair_fwd"], "0")),
             tight_cull=os.environ.get(_ENV["tight_cull"], "0") == "1",
+            aligned_layout=os.environ.get(
+                _ENV["aligned_layout"], "0") == "1",
             **{k: os.environ.get(_ENV[k], getattr(base, k))
                for k in _CHOICES},
         ).validate()
@@ -206,6 +215,7 @@ def _exports(cfg: KernelConfig) -> dict:
         "PAIR": cfg.pair, "PAIR_F": cfg.pair_f, "G_CHUNK": cfg.g_chunk,
         "WIN_ALIGN": cfg.win_align, "BUFS": cfg.bufs,
         "TIGHT_CULL": cfg.tight_cull,
+        "ALIGNED_LAYOUT": cfg.aligned_layout,
         "KERNEL_DOT": cfg.kernel_dot, "POWER_IMPL": cfg.power,
         "PACK_VJP": cfg.pack_vjp, "SSIM_BLUR": cfg.ssim_blur,
         "SCAN_DOT": cfg.scan_dot, "UNTILE": cfg.untile,

@@ -234,6 +234,65 @@ def bin_gaussians(proj: Projected, grid_x: int, grid_y: int, capacity: int,
                    total=total, cum=cum, counts=counts)
 
 
+def align_binning(binning: Binning, num_gaussians: int, chunk: int) -> Binning:
+    """Re-pad the sorted instance layout so every tile's range starts on a
+    `chunk` boundary (round-5 perf: the kernels' read windows must start on
+    the 128-lane Mosaic grid, so unaligned tile ranges waste an average of
+    win_align/2 leading masked lanes per tile — ~48% extra window slots at
+    bench scale. Aligned ranges make the leading waste zero and give every
+    tile exclusive G_CHUNK write blocks in the backward).
+
+    Pure layout transform on a finished Binning: instances keep their sorted
+    order; `chunk - len % chunk` dead slots are inserted after each tile's
+    run. Dead slots get Gaussian id = `num_gaussians` (a sentinel beyond any
+    real id: the pack gather clamps it, the kernels mask the lanes via
+    start/stop, and the pack-VJP's stable id-sort pushes the zero-cotangent
+    rows past every real segment so the cum/counts windows stay exact).
+    `total` becomes the padded total so the existing overflow gate also
+    rejects steps whose PADDED layout exceeds capacity.
+
+    Cost: two T-sized scatters + two capacity-length blocked scans + the
+    (pre-existing) pack row-gather now reading via the padded order.
+    """
+    start, stop = binning.tile_start, binning.tile_stop
+    capacity = binning.order.shape[0]
+    num_tiles = start.shape[0]
+    ln = stop - start
+    alen = -(-ln // chunk) * chunk
+    astart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(alen[:-1], dtype=jnp.int32)])
+    padded_total = astart[-1] + alen[-1]
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    # Run descriptors scattered at each run's first slot, extended over the
+    # run by a running max (both scattered values are nondecreasing over the
+    # tile index: astart-start because padding only accumulates, stop because
+    # tile ranges partition the sorted array in tile order; empty tiles
+    # sharing an astart write equal/smaller values, so max keeps the owner's).
+    delta = astart - start  # slot -> source offset for the owning run
+    dmark = jnp.full((capacity,), -1, jnp.int32).at[astart].max(
+        delta, mode="drop")
+    drun = blocked_cummax(dmark)
+    smark = jnp.full((capacity,), -1, jnp.int32).at[astart].max(
+        stop, mode="drop")
+    srun = blocked_cummax(smark)
+    src = slots - drun
+    valid = (src >= 0) & (src < srun) & (slots < padded_total)
+    src_c = jnp.clip(src, 0, capacity - 1)
+    order2 = jnp.where(valid, jnp.take(binning.order, src_c),
+                       jnp.int32(num_gaussians))
+    tile2 = jnp.where(valid, jnp.take(binning.tile_id, src_c),
+                      jnp.int32(num_tiles))
+    # overflow: runs past capacity are clamped; the padded total (> capacity)
+    # trips the caller's overflow gate, so the clamped layout is never USED —
+    # it only has to have legal shapes/indices.
+    start2 = jnp.minimum(astart, capacity)
+    stop2 = jnp.minimum(astart + ln, capacity)
+    total2 = jnp.maximum(binning.total, padded_total)
+    return Binning(order=order2, tile_id=tile2, tile_start=start2,
+                   tile_stop=stop2, total=total2, cum=binning.cum,
+                   counts=binning.counts)
+
+
 def required_capacity(total: int, granularity: int = 65536) -> int:
     """Round a host-side instance count up to a bucketed static capacity to
     bound recompilation under jit."""

@@ -130,8 +130,10 @@ PACK_VJP = _kernel_config().pack_vjp
 @jax.custom_vjp
 def _gather_rows_t(cols, order, cum, counts):
     """data[16, capacity] = cols[order].T — the pack gather, with a
-    deterministic instance->Gaussian segment-reduction VJP (see PACK_VJP)."""
-    return jnp.take(cols, order, axis=0).T
+    deterministic instance->Gaussian segment-reduction VJP (see PACK_VJP).
+    "clip": aligned-layout dead slots carry an out-of-range sentinel id
+    (masked in the kernels; zero cotangents in the VJP)."""
+    return jnp.take(cols, order, axis=0, mode="clip").T
 
 
 def _gather_rows_t_fwd(cols, order, cum, counts):
@@ -227,7 +229,7 @@ def pack_sorted(proj: Projected, colors, flow, binning: Binning):
     if binning.cum is not None:
         data = _gather_rows_t(cols, g, binning.cum, binning.counts)
     else:  # minimal Binning (tests) — autodiff scatter VJP
-        data = jnp.take(cols, g, axis=0).T
+        data = jnp.take(cols, g, axis=0, mode="clip").T
     # Row 14 carries the per-instance Gaussian id as raw bits: the forward
     # kernel's dominant-idx tracking then needs NO second DMA stream (a
     # separate [1, cap] gid buffer doubled the per-window DMA/semaphore count

@@ -27,11 +27,17 @@ def gather_sorted(proj: Projected, colors: jnp.ndarray, flow: jnp.ndarray, binni
     One big XLA gather — its autodiff transpose is exactly the deterministic
     segment-sum that replaces the reference backward's atomicAdd scatters."""
     g = binning.order
-    xy = jnp.take(proj.xy, g, axis=0)
-    conic = jnp.take(proj.conic, g, axis=0)
-    opac = jnp.take(proj.opacity * proj.valid, g)
+    # "clip": the aligned layout's dead slots carry an out-of-range sentinel
+    # id (binning.align_binning); their rows are masked by start/stop, so the
+    # clamped garbage is never blended (the default "fill" mode would
+    # poison them with NaN instead).
+    xy = jnp.take(proj.xy, g, axis=0, mode="clip")
+    conic = jnp.take(proj.conic, g, axis=0, mode="clip")
+    opac = jnp.take(proj.opacity * proj.valid, g, mode="clip")
     feats = comp.make_features(
-        jnp.take(colors, g, axis=0), jnp.take(proj.depth, g), jnp.take(flow, g, axis=0)
+        jnp.take(colors, g, axis=0, mode="clip"),
+        jnp.take(proj.depth, g, mode="clip"),
+        jnp.take(flow, g, axis=0, mode="clip"),
     )
     return xy, conic, opac, feats, g
 

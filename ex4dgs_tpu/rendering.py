@@ -204,11 +204,15 @@ def composite_projected(
     backend: "pallas" (TPU kernels), "jnp" (portable oracle), or None = auto
     (pallas on TPU when no subpixel offset is requested)."""
     grid_x, grid_y = tile_grid(cam.width, cam.height)
+    kcfg = _kernel_config()
     binning = binning_ops.bin_gaussians(
         proj, grid_x, grid_y, capacity,
-        exact_depth_sort=_kernel_config().exact_sort)
+        exact_depth_sort=kcfg.exact_sort)
     if backend is None:
         backend = _auto_backend(capacity)
+    if backend == "pallas" and kcfg.aligned_layout:
+        binning = binning_ops.align_binning(
+            binning, proj.xy.shape[0], kcfg.g_chunk)
     if backend == "pallas":
         from .ops.rasterize_pallas import rasterize_tiled_pallas
 
@@ -294,6 +298,9 @@ def composite_projected_sharded(
     if backend == "pallas":
         from .ops.rasterize_pallas import composite_tiles, pack_sorted
 
+        if _kernel_config().aligned_layout:
+            binning = binning_ops.align_binning(
+                binning, proj.xy.shape[0], _kernel_config().g_chunk)
         data, gid = pack_sorted(proj, colors, flow_dirs, binning)
         tids = t0 + jnp.arange(local, dtype=jnp.int32)
         color, accum, tfinal, bestidx = composite_tiles(

@@ -17,8 +17,8 @@ def test_default_is_valid_and_self_describing():
     d = cfg.as_dict()
     assert set(d) == {"tile_x", "tile_y", "pair", "g_chunk", "win_align",
                       "bufs", "exact_sort", "pair_fwd", "tight_cull",
-                      "kernel_dot", "power", "pack_vjp", "ssim_blur",
-                      "scan_dot", "untile"}
+                      "aligned_layout", "kernel_dot", "power", "pack_vjp",
+                      "ssim_blur", "scan_dot", "untile"}
     assert KernelConfig.from_dict(d) == cfg
 
 
