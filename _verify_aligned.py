@@ -57,7 +57,7 @@ def loss(opac, colors):
     p = proj._replace(opacity=opac)
     o = rp.rasterize_tiled_pallas(p, colors, flow, a, width=W, height=H,
                                   bg=jnp.zeros(3), max_depth=cfg.far,
-                                  interpret=True)
+                                  interpret=True, aligned=True)
     return jnp.abs(o.color - jnp.asarray(img0)).mean()
 
 op_pert = proj.opacity * 0.5  # start away from the target

@@ -703,9 +703,8 @@ def _forward_pallas(data, starts, stops, tids, subpixel_offsets=None, *,
 # ---------------------------------------------------------------------------
 
 def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
-                     tfin_in, off_in, _zeros_in, dgrad_out, win0_out, buf,
-                     cum_ref, pref_ref, dbuf, bw0_ref, sem, wsem, *, grid_x,
-                     subpixel):
+                     tfin_in, off_in, _zeros_in, dgrad_out, *rest, grid_x,
+                     subpixel, aligned=False):
     """Recompute the forward walk for a PAIR of adjacent tiles (batched pair
     axis, see _forward_kernel); emit per-instance gradients.
 
@@ -731,7 +730,17 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     (per-block prefix differences — an XLA windowed scatter-add would
     serialize its ~num_tiles updates). In-kernel there are NO
     read-modify-writes, seeds or merges — per tile the epilogue only drains
-    its last two plain writes and zero-fills never-reached windows."""
+    its last two plain writes and zero-fills never-reached windows.
+
+    aligned=True (KernelConfig.aligned_layout, binning.align_binning): every
+    tile's range starts on its own G_CHUNK block, so NO window is ever
+    shared — window 0 is written like any other window and the win0 output,
+    the bw0 accumulator and the caller-side dense merge all disappear."""
+    if aligned:
+        buf, cum_ref, pref_ref, dbuf, sem, wsem = rest
+        win0_out = bw0_ref = None
+    else:
+        win0_out, buf, cum_ref, pref_ref, dbuf, bw0_ref, sem, wsem = rest
     p = pl.program_id(0)
     t0 = p * PAIR
     start_k = [starts[t0 + k] for k in range(PAIR)]
@@ -777,7 +786,8 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
 
     cum_ref[:] = jnp.ones((PAIR, N_PIX, 1), jnp.float32)
     pref_ref[:] = jnp.zeros((PAIR, N_PIX, 1), jnp.float32)
-    bw0_ref[:] = jnp.zeros((PAIR, DATA_ROWS, G_CHUNK), jnp.float32)
+    if not aligned:
+        bw0_ref[:] = jnp.zeros((PAIR, DATA_ROWS, G_CHUNK), jnp.float32)
     gacc = gacc_in[:]  # [PAIR, N_PIX, N_ACC]
     gc_r = gacc[:, :, 0:1]
     gc_g = gacc[:, :, 1:2]
@@ -820,13 +830,15 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
                 wait_read(k, j, rslot)
 
         # drain the writes that last used this slot (chunk j-2) per pane;
-        # no pane has an in-flight write for chunk 0 (held in bw0_ref)
+        # without the aligned layout no pane has an in-flight write for
+        # chunk 0 (held in bw0_ref)
+        first_w = 0 if aligned else 1
         for k in range(PAIR):
-            @pl.when((j >= 3) & (j - 2 < n_k[k]))
+            @pl.when((j >= first_w + 2) & (j - 2 < n_k[k]))
             def _(k=k):
                 wait_write(k, j - 2, slot)
         for k in range(PAIR):
-            @pl.when((j > 0) & (j < n_k[k]))
+            @pl.when((j >= first_w) & (j < n_k[k]))
             def _(k=k):
                 dbuf[slot, k] = jnp.zeros((DATA_ROWS, G_CHUNK), jnp.float32)
 
@@ -892,16 +904,23 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
             jnp.zeros((PAIR, 2, G_CHUNK), jnp.float32),
         ], axis=1)  # [PAIR, DATA_ROWS, G_CHUNK]
 
-        for k in range(PAIR):
-            @pl.when(j < n_k[k])
-            def _(k=k):
-                @pl.when(j == 0)
-                def _():
-                    bw0_ref[k] += gchunk[k]
-                @pl.when(j > 0)
-                def _():
+        if aligned:
+            for k in range(PAIR):
+                @pl.when(j < n_k[k])
+                def _(k=k):
                     dbuf[slot, k] += gchunk[k]
                     start_write(k, j, slot)
+        else:
+            for k in range(PAIR):
+                @pl.when(j < n_k[k])
+                def _(k=k):
+                    @pl.when(j == 0)
+                    def _():
+                        bw0_ref[k] += gchunk[k]
+                    @pl.when(j > 0)
+                    def _():
+                        dbuf[slot, k] += gchunk[k]
+                        start_write(k, j, slot)
 
         pref_ref[:] = incl[..., -1:]
         new_cum = cum[..., -1:]
@@ -953,12 +972,15 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
     # device, so the epilogue must skip chunks the loop drained (a pane that
     # exhausted before its partner has none outstanding at all). Pane B's
     # chunk-0 "write" lives in bw0_ref, not a DMA.
+    # (aligned layout: window 0 is a real DMA, so the "chunk >= 1" floor in
+    # these guards drops by one)
+    first_w = 0 if aligned else 1
     for k in range(PAIR):
         last_b = jnp.minimum(j_exit, n_k[k])
-        @pl.when((last_b >= 3) & (last_b - 2 >= j_exit - 2))
+        @pl.when((last_b >= first_w + 2) & (last_b - 2 >= j_exit - 2))
         def _(k=k, last_b=last_b):
             wait_write(k, last_b - 2, jax.lax.rem(last_b - 2, 2))
-        @pl.when((last_b >= 2) & (last_b - 1 >= j_exit - 2))
+        @pl.when((last_b >= first_w + 1) & (last_b - 1 >= j_exit - 2))
         def _(k=k, last_b=last_b):
             wait_write(k, last_b - 1, jax.lax.rem(last_b - 1, 2))
 
@@ -984,13 +1006,15 @@ def _backward_kernel(starts, stops, tids, data_hbm, gacc_in, acdot_in, gend_in,
             jax.lax.fori_loop(lo_j, n_k[k], zbody, 0)
 
     # window-0 gradients leave through the pipelined win0 output; the caller
-    # adds them into dgrad with one windowed scatter-add
-    win0_out[:] = bw0_ref[:]
+    # adds them into dgrad with one windowed scatter-add. Aligned layout:
+    # window 0 was a plain write like every other — nothing to emit.
+    if not aligned:
+        win0_out[:] = bw0_ref[:]
 
 
 def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
                      subpixel_offsets=None, *, num_tiles, grid_x,
-                     interpret=False):
+                     interpret=False, aligned=False):
     capacity = data.shape[1]
     subpixel = subpixel_offsets is not None
     if not subpixel:
@@ -1006,8 +1030,27 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
     tfin = _pad_pair(tfin, num_tiles)
     t_pad = starts.shape[0]
     kernel = functools.partial(_backward_kernel, grid_x=grid_x,
-                               subpixel=subpixel)
+                               subpixel=subpixel, aligned=aligned)
     off_map = (lambda p, *_: (p, 0, 0)) if subpixel else (lambda p, *_: (0, 0, 0))
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    out_shape = [jax.ShapeDtypeStruct((DATA_ROWS, capacity), jnp.float32)]
+    scratch = [
+        pltpu.VMEM((BUFS, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # buf
+        pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # cum
+        pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # prefix
+        pltpu.VMEM((2, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # dbuf x2
+        pltpu.SemaphoreType.DMA((BUFS, PAIR)),
+        pltpu.SemaphoreType.DMA((2, PAIR)),
+    ]
+    if not aligned:
+        # per-tile window-0 grads leave via a second output + dense merge
+        out_specs.append(
+            pl.BlockSpec((PAIR, DATA_ROWS, G_CHUNK), lambda p, *_: (p, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((t_pad, DATA_ROWS, G_CHUNK), jnp.float32))
+        scratch.insert(4, pltpu.VMEM((PAIR, DATA_ROWS, G_CHUNK),
+                                     jnp.float32))  # win-0 accum
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t_pad // PAIR,),
@@ -1024,35 +1067,25 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
             pl.BlockSpec((PAIR, N_PIX, 2), off_map, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # dgrad zero-init (aliased)
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((PAIR, DATA_ROWS, G_CHUNK), lambda p, *_: (p, 0, 0),
-                         memory_space=pltpu.VMEM),  # per-tile window-0 grads
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((BUFS, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # buf
-            pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # cum
-            pltpu.VMEM((PAIR, N_PIX, 1), jnp.float32),  # prefix
-            pltpu.VMEM((2, PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # dbuf x2
-            pltpu.VMEM((PAIR, DATA_ROWS, G_CHUNK), jnp.float32),  # win-0 accum
-            pltpu.SemaphoreType.DMA((BUFS, PAIR)),
-            pltpu.SemaphoreType.DMA((2, PAIR)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     zeros = jnp.zeros((DATA_ROWS, capacity), jnp.float32)
-    dgrad, win0 = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((DATA_ROWS, capacity), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, DATA_ROWS, G_CHUNK), jnp.float32),
-        ],
+        out_shape=out_shape,
         # alias indices count ALL operands incl. scalar prefetch: starts=0,
         # stops=1, tids=2, data=3, cotangents 4..7, off=8, zeros=9 -> out 0
         input_output_aliases={9: 0},
         interpret=interpret,
     )(starts, stops, tids, data, gacc, acdot, gend, tfin, subpixel_offsets,
       zeros)
+    if aligned:
+        # every tile's windows were exclusively owned plain writes — no
+        # window-0 merge to do
+        return outs[0]
+    dgrad, win0 = outs
     # Add each tile's window-0 gradients at its G_CHUNK-aligned base (the
     # kernel cannot RMW these in place: a tile's window 0 may be its
     # predecessor's still-streaming last window). An XLA windowed scatter-add
@@ -1092,16 +1125,19 @@ def _backward_pallas(data, starts, stops, tids, gacc, acdot, gend, tfin,
 # custom_vjp wrapper + public API
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def composite_tiles(data, bg, gid, starts, stops, tids, subpixel_offsets,
-                    num_tiles, grid_x, interpret, track_idx=True):
+                    num_tiles, grid_x, interpret, track_idx=True,
+                    aligned=False):
     """Composite `num_tiles` tiles; tids[t] is each tile's GLOBAL grid index
     (= arange for a full frame; a slab offset under tile sharding).
     subpixel_offsets: optional [T, 256, 2] per-pixel AA offsets
     (forward.cu:311-317) — treated as data, not a differentiable parameter.
     `gid` is kept in the signature for callers/documentation, but the kernel
     reads per-instance ids from data row 14 (pack_sorted) — no second DMA
-    stream."""
+    stream. aligned=True asserts the binning came through align_binning
+    (every tile start on the G_CHUNK grid): the backward then writes window
+    0 directly instead of the win0-output + dense-merge path."""
     accum, tfinal, bestidx = _forward_pallas(
         data, starts, stops, tids, subpixel_offsets,
         num_tiles=num_tiles, grid_x=grid_x,
@@ -1112,16 +1148,18 @@ def composite_tiles(data, bg, gid, starts, stops, tids, subpixel_offsets,
 
 
 def _composite_fwd(data, bg, gid, starts, stops, tids, subpixel_offsets,
-                   num_tiles, grid_x, interpret, track_idx=True):
+                   num_tiles, grid_x, interpret, track_idx=True,
+                   aligned=False):
     out = composite_tiles(data, bg, gid, starts, stops, tids,
                           subpixel_offsets, num_tiles, grid_x, interpret,
-                          track_idx)
+                          track_idx, aligned)
     _color, accum, tfinal, _bestidx = out
     return out, (data, bg, accum, tfinal, starts, stops, tids,
                  subpixel_offsets)
 
 
-def _composite_bwd(num_tiles, grid_x, interpret, track_idx, res, cts):
+def _composite_bwd(num_tiles, grid_x, interpret, track_idx, aligned, res,
+                   cts):
     data, bg, accum, tfinal, starts, stops, tids, subpixel_offsets = res
     g_color, g_accum, g_tfinal, _ = cts
     # color = accum[...,:3] + tfinal*bg folds into the accum/tfinal cotangents
@@ -1133,6 +1171,7 @@ def _composite_bwd(num_tiles, grid_x, interpret, track_idx, res, cts):
         data, starts, stops, tids, gacc, acdot, gend, tfinal,
         subpixel_offsets,
         num_tiles=num_tiles, grid_x=grid_x, interpret=interpret,
+        aligned=aligned,
     )
     # The kernel writes only this slab's [start, stop) instance ranges; zero
     # everything outside [starts[0], stops[-1]) — below lies another slab's
@@ -1165,6 +1204,7 @@ def rasterize_tiled_pallas(
     interpret: bool = False,
     track_idx: bool = True,
     subpixel_offset: jnp.ndarray | None = None,
+    aligned: bool = False,
     **_unused,
 ) -> comp.RenderOutputs:
     """Drop-in replacement for ops.rasterize_tiled.rasterize_tiled on TPU.
@@ -1195,7 +1235,7 @@ def rasterize_tiled_pallas(
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     color, accum, tfinal, bestidx = composite_tiles(
         data, bg, gid2, binning.tile_start, binning.tile_stop, tids,
-        offsets_t, num_tiles, grid_x, interpret, track_idx,
+        offsets_t, num_tiles, grid_x, interpret, track_idx, aligned,
     )
 
     acc = jax.lax.stop_gradient(accum[..., 7])

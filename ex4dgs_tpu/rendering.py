@@ -210,7 +210,8 @@ def composite_projected(
         exact_depth_sort=kcfg.exact_sort)
     if backend is None:
         backend = _auto_backend(capacity)
-    if backend == "pallas" and kcfg.aligned_layout:
+    aligned = backend == "pallas" and kcfg.aligned_layout
+    if aligned:
         binning = binning_ops.align_binning(
             binning, proj.xy.shape[0], kcfg.g_chunk)
     if backend == "pallas":
@@ -220,6 +221,7 @@ def composite_projected(
             proj, colors, flow_dirs, binning,
             width=cam.width, height=cam.height, bg=bg, max_depth=far,
             track_idx=track_idx, subpixel_offset=subpixel_offset,
+            aligned=aligned,
         )
     else:
         out = rasterize_tiled.rasterize_tiled(
@@ -298,14 +300,15 @@ def composite_projected_sharded(
     if backend == "pallas":
         from .ops.rasterize_pallas import composite_tiles, pack_sorted
 
-        if _kernel_config().aligned_layout:
+        aligned = _kernel_config().aligned_layout
+        if aligned:
             binning = binning_ops.align_binning(
                 binning, proj.xy.shape[0], _kernel_config().g_chunk)
         data, gid = pack_sorted(proj, colors, flow_dirs, binning)
         tids = t0 + jnp.arange(local, dtype=jnp.int32)
         color, accum, tfinal, bestidx = composite_tiles(
             data, bg, gid[None, :], binning.tile_start, binning.tile_stop,
-            tids, None, local, grid_x, False, track_idx,
+            tids, None, local, grid_x, False, track_idx, aligned,
         )
         acc = jax.lax.stop_gradient(accum[..., 7])
         has = acc > 0.0

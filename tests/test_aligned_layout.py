@@ -121,12 +121,13 @@ def test_aligned_pallas_interpret_matches_unaligned(subpixel):
             rng.uniform(-0.5, 0.5, size=(H, W, 2)).astype(np.float32))
     tgt = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
 
-    def run(binning):
+    def run(binning, aligned):
         def loss(xy, opac, colors):
             p = proj._replace(xy=xy, opacity=opac)
             out = rp.rasterize_tiled_pallas(
                 p, colors, flow, binning, width=W, height=H, bg=bg,
-                max_depth=100.0, interpret=True, subpixel_offset=off)
+                max_depth=100.0, interpret=True, subpixel_offset=off,
+                aligned=aligned)
             return jnp.abs(out.color - tgt).mean(), out
         (l, out), grads = jax.value_and_grad(
             loss, argnums=(0, 1, 2), has_aux=True)(proj.xy, proj.opacity,
@@ -135,8 +136,18 @@ def test_aligned_pallas_interpret_matches_unaligned(subpixel):
 
     b = bin_gaussians(proj, gx, gy, CAP)
     a = align_binning(b, proj.xy.shape[0], CHUNK)
-    l0, out0, g0 = run(b)
-    l1, out1, g1 = run(a)
+    l0, out0, g0 = run(b, False)
+    # aligned=True drives the backward's direct-window-0 path (no win0
+    # output, no dense merge)
+    l1, out1, g1 = run(a, True)
+    # and the aligned BINNING through the unaligned kernel path must agree
+    # with itself (the win0 path is still correct on aligned starts)
+    l2, out2, g2 = run(a, False)
+    np.testing.assert_array_equal(np.asarray(out1.color),
+                                  np.asarray(out2.color))
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(out0.color), np.asarray(out1.color),
                                rtol=2e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(out0.idx), np.asarray(out1.idx))
