@@ -129,11 +129,20 @@ PACK_VJP = _kernel_config().pack_vjp
 
 @jax.custom_vjp
 def _gather_rows_t(cols, order, cum, counts):
-    """data[16, capacity] = cols[order].T — the pack gather, with a
-    deterministic instance->Gaussian segment-reduction VJP (see PACK_VJP).
-    "clip": aligned-layout dead slots carry an out-of-range sentinel id
-    (masked in the kernels; zero cotangents in the VJP)."""
-    return jnp.take(cols, order, axis=0, mode="clip").T
+    """data[16, capacity] = cols[order].T with row 14 = the instance's
+    Gaussian id as raw bits — the pack gather, with a deterministic
+    instance->Gaussian segment-reduction VJP (see PACK_VJP).
+
+    The id fill rides the gather output as a pre-transpose column select so
+    XLA fuses it into the gather/transpose pipeline (a post-transpose row
+    set materialized a second [16, capacity] copy). Row 14's cotangent is
+    exactly zero (the backward kernel zero-fills rows 14-15), so the VJP
+    needs no special-casing. "clip": aligned-layout dead slots carry an
+    out-of-range sentinel id (masked in the kernels; zero cotangents)."""
+    g16 = jnp.take(cols, order, axis=0, mode="clip")
+    gid_f = jax.lax.bitcast_convert_type(order.astype(jnp.int32), jnp.float32)
+    g16 = g16.at[:, 14].set(gid_f)
+    return g16.T
 
 
 def _gather_rows_t_fwd(cols, order, cum, counts):
@@ -226,18 +235,17 @@ def pack_sorted(proj: Projected, colors, flow, binning: Binning):
         ],
         axis=1,
     )  # [P, 16] — P is small (splat count, not instances)
+    # Row 14 carries the per-instance Gaussian id as raw bits: the forward
+    # kernel's dominant-idx tracking then needs NO second DMA stream (a
+    # separate [1, cap] gid buffer doubled the per-window DMA/semaphore count
+    # and cost ~6.5 ms/frame at N3V scale — round-5 renderprobe). The fill
+    # happens inside _gather_rows_t, pre-transpose, so it fuses.
     if binning.cum is not None:
         data = _gather_rows_t(cols, g, binning.cum, binning.counts)
     else:  # minimal Binning (tests) — autodiff scatter VJP
         data = jnp.take(cols, g, axis=0, mode="clip").T
-    # Row 14 carries the per-instance Gaussian id as raw bits: the forward
-    # kernel's dominant-idx tracking then needs NO second DMA stream (a
-    # separate [1, cap] gid buffer doubled the per-window DMA/semaphore count
-    # and cost ~6.5 ms/frame at N3V scale — round-5 renderprobe). The id is
-    # `g` itself, so no extra gather; the set's VJP drops the (zero) row-14
-    # cotangent exactly as the old zeros row did.
-    data = data.at[14, :].set(
-        jax.lax.bitcast_convert_type(g.astype(jnp.int32), jnp.float32))
+        data = data.at[14, :].set(
+            jax.lax.bitcast_convert_type(g.astype(jnp.int32), jnp.float32))
     return data, g.astype(jnp.int32)
 
 
