@@ -174,15 +174,20 @@ def _ssim_map_bwd(window_size, sigma, res, g):
     c_mu2 = 2 * gs * (mu1 / a1 - mu1 / a2 - mu2 / b1 + mu2 / b2)
     c_s11 = -gs / b2
     c_s12 = 2 * gs / a2
-    # one blur for all four cotangent maps (channel-stacked, see _ssim_stats)
+    # Cotangent maps blurred channel-stacked (see _ssim_stats) — but in TWO
+    # stacks, keyed by which input consumes them: training differentiates
+    # only img1 (img2 = ground truth), and keeping c_mu2 out of the d1 stack
+    # lets XLA dead-code the whole d2 blur when d2's cotangent is unused
+    # (one concat over all four fields would pin all 12 channels live).
     c = img1.shape[-1]
     b = _depthwise_blur(
-        jnp.concatenate([c_mu1, c_mu2, c_s11, c_s12], axis=-1),
-        window_size, sigma)
-    b_mu1, b_mu2, b_s11, b_s12 = (
-        b[..., :c], b[..., c:2*c], b[..., 2*c:3*c], b[..., 3*c:])
+        jnp.concatenate([c_mu1, c_s11, c_s12], axis=-1), window_size, sigma)
+    b_mu1, b_s11, b_s12 = b[..., :c], b[..., c:2*c], b[..., 2*c:]
     d1 = b_mu1 + 2 * img1 * b_s11 + img2 * b_s12
-    d2 = b_mu2 + 2 * img2 * b_s11 + img1 * b_s12
+    b2_ = _depthwise_blur(
+        jnp.concatenate([c_mu2, c_s11, c_s12], axis=-1), window_size, sigma)
+    b_mu2, b_s11b, b_s12b = b2_[..., :c], b2_[..., c:2*c], b2_[..., 2*c:]
+    d2 = b_mu2 + 2 * img2 * b_s11b + img1 * b_s12b
     return d1, d2
 
 
