@@ -107,7 +107,13 @@ class KernelConfig:
     aligned_layout: bool = False
     # Numeric-strategy knobs (string-valued; allowed values in _CHOICES,
     # rationale at the consuming site):
-    kernel_dot: str = "split"      # ops/rasterize_pallas.py::_dot_split
+    # split3 default (round 5): +4.7% fwd+bwd / +13% render over per-site
+    # split. It relaxes backward color/opacity grads to ~5e-5 abs (~1%
+    # relative; tests/test_pallas.py documents both contracts) — validated
+    # quality-neutral at scale by a full-schedule 3000-iter A/B: 34.14 dB
+    # held-out vs the 33.53 dB split anchor (_r5_chain5.log, BASELINE.md).
+    # EX4DGS_KERNEL_DOT=split restores the strict 4-pass contract.
+    kernel_dot: str = "split3"     # ops/rasterize_pallas.py::_dot_split
     power: str = "direct"          # ops/rasterize_pallas.py::_power_eval
     pack_vjp: str = "segment"      # ops/rasterize_pallas.py::_gather_rows_t
     ssim_blur: str = "shifts"      # ops/losses.py::_depthwise_blur

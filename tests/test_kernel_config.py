@@ -28,7 +28,8 @@ def test_old_checkpoint_dicts_still_load():
     old = {"tile_x": 32, "tile_y": 16, "pair": 1, "g_chunk": 128,
            "win_align": 128, "bufs": 2, "exact_sort": False, "pair_fwd": 0}
     cfg = KernelConfig.from_dict(old)
-    assert cfg.kernel_dot == "split" and cfg.untile == "naive"
+    # newer knobs fill with CURRENT defaults (split3 since round 5)
+    assert cfg.kernel_dot == "split3" and cfg.untile == "naive"
     assert not cfg.tight_cull
 
 

@@ -66,7 +66,45 @@ def test_pallas_forward_matches_jnp():
     assert agree > 0.995, agree
 
 
+def _with_kernel_dot(mode):
+    from ex4dgs_tpu.kernel_config import KernelConfig, configure, current
+
+    base = current()
+    return configure(KernelConfig(**{**base.as_dict(), "kernel_dot": mode}))
+
+
 def test_pallas_backward_matches_jnp():
+    """Strict-precision contract: kernel_dot=split (per-site 4-pass operand
+    split) reproduces the oracle's gradients to 2e-5. The production default
+    is split3 (see test below) — this test pins the strict mode so the
+    tight contract stays verified."""
+    from ex4dgs_tpu.kernel_config import configure, current
+
+    base = current()
+    try:
+        _with_kernel_dot("split")
+        _backward_parity_case(atol=2e-5)
+    finally:
+        configure(base)
+
+
+def test_pallas_backward_default_split3_tolerance():
+    """Default-config contract: kernel_dot=split3 (3-pass dots, +4.7%
+    fwd+bwd / +13% render) carries ~5e-5 abs (~1% relative) backward
+    color/opacity gradient error vs the oracle — validated quality-neutral
+    at scale (3000-iter full-schedule A/B: 34.14 dB vs the 33.53 dB strict
+    anchor, _r5_chain5.log)."""
+    from ex4dgs_tpu.kernel_config import configure, current
+
+    base = current()
+    try:
+        _with_kernel_dot("split3")
+        _backward_parity_case(atol=1.5e-4)
+    finally:
+        configure(base)
+
+
+def _backward_parity_case(atol):
     proj, g, binning = _setup(n=200, seed=1)
     bg = jnp.asarray([0.1, 0.1, 0.1])
     tgt = jnp.asarray(
@@ -100,7 +138,7 @@ def test_pallas_backward_matches_jnp():
     g_ref = jax.grad(loss_jnp, argnums=(0, 1, 2))(*args)
     g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(*args)
     for a, b, name in zip(g_pal, g_ref, ("colors", "flow", "opacity")):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5,
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol,
                                    err_msg=name)
 
 
