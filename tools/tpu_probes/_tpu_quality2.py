@@ -141,7 +141,9 @@ if FULL_SCHED:
         # interval event and the growth-driven mark (extract_every)
         extract_from_iter=500,
         extracton_interval=max(1, ITERS // 10) if extract_on else ITERS + 1,
-        extract_every=1 if extract_on else 10**9,
+        # off-value must keep progressive_growing_steps * extract_every
+        # inside int32 (train/step.py:112 folds it into a jit argument)
+        extract_every=1 if extract_on else 10**5,
         progressive_growing_steps=max(1, ITERS // 10),
         make_dynamic_interval=100,
         prune_invisible_interval=10_000,
