@@ -201,6 +201,15 @@ def main():
     jax.block_until_ready(rfn(jnp.asarray(2.0)))
     render_mpix_s = measure(lambda i: rfn(jnp.asarray(float(i % 5))),
                             lambda o: o)
+    # live-viewer shape: RGB only (no dominant-idx bookkeeping, ~5 ms/frame
+    # at this scale) — what a real-time client actually pays
+    rfn_n = jax.jit(lambda t: render(
+        cam, model, cfg, t=t, bg=jnp.zeros(3), capacity=capacity,
+        max_per_tile=max_per_tile, chunk=256, track_idx=False).render)
+    jax.block_until_ready(rfn_n(jnp.asarray(1.0)))
+    jax.block_until_ready(rfn_n(jnp.asarray(2.0)))
+    render_noidx_mpix_s = measure(lambda i: rfn_n(jnp.asarray(float(i % 5))),
+                                  lambda o: o)
 
     from ex4dgs_tpu.kernel_config import current as _kc
 
@@ -213,6 +222,7 @@ def main():
             round(train_mpix_s, 3) if train_mpix_s is not None else None
         ),
         "render_mpix_s": round(render_mpix_s, 3),
+        "render_noidx_mpix_s": round(render_noidx_mpix_s, 3),
         "instances": total,
         "capacity": capacity,
         "resolution": [W, H],

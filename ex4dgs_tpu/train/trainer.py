@@ -609,6 +609,8 @@ class Trainer:
             bg=jnp.zeros(3, jnp.float32), capacity=self.capacity,
             max_per_tile=self.max_per_tile,
             scaling_modifier=req.scaling_modifier, backend=self.backend,
+            track_idx=False,  # the wire carries RGB only; dominant-idx
+            # bookkeeping costs ~5 ms/frame at N3V scale (renderprobe)
         )
         return np.asarray(res.render)
 
